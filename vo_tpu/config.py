@@ -1,0 +1,109 @@
+"""Typed configuration for the whole engine.
+
+The reference has exactly one flag (``view_3D``, VO.m:6) and hard-codes every
+other constant inline: viz every 100 frames (VO.m:168), landmark stride 2
+(CreateLandmarksFromFeatures.m:4), depth gate 80 m
+(CreateLandmarksFromFeatures.m:13), SIFT/matcher/RANSAC parameters buried in
+MATLAB toolbox defaults. Here every knob is an explicit dataclass field; the
+defaults replicate the MATLAB behavior.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SIFTConfig:
+    """Scale-space detector + descriptor parameters.
+
+    Defaults mirror MATLAB detectSIFTFeatures / extractFeatures(...,"SIFT")
+    (VO.m:79-84): ContrastThreshold 0.0133, EdgeThreshold 10, 3 layers per
+    octave, sigma 1.6 [MATLAB docs — not in repo].
+    """
+
+    n_octaves: int = 4
+    scales_per_octave: int = 3
+    sigma0: float = 1.6
+    contrast_threshold: float = 0.0133
+    edge_threshold: float = 10.0
+    max_keypoints: int = 2048  # static capacity per image (XLA needs fixed shapes)
+    descriptor_patch: int = 16  # 16x16 gradient patch -> 4x4x8 histogram
+    ori_bins: int = 36
+    upsample: bool = False  # MATLAB does not upsample by default
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Descriptor matching parameters.
+
+    MATLAB matchFeatures defaults (VO.m:87): Metric SSD, MatchThreshold 10
+    (percent of max distance), MaxRatio 0.6 (Lowe ratio), mutual uniqueness
+    off [MATLAB docs].
+    """
+
+    max_ratio: float = 0.6
+    match_threshold: float = 10.0  # percent of the max possible SSD distance
+    mutual: bool = True  # cross-check; tightens the 4-view cascade
+    tile: int = 512  # distance-matrix tile for the Pallas kernel
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    """RANSAC-P3P parameters.
+
+    MATLAB estworldpose defaults (VO.m:123-127): MaxReprojectionError 1 px,
+    Confidence 99 %, MaxNumTrials 1000 [MATLAB docs]. On TPU we run a FIXED
+    hypothesis batch (no data-dependent early exit) — all hypotheses solved
+    and scored at once.
+    """
+
+    n_hypotheses: int = 512
+    max_reproj_err_px: float = 1.0
+    refine_iters: int = 10
+    min_points: int = 6  # below this, fall back to constant-velocity model
+
+
+@dataclasses.dataclass(frozen=True)
+class LandmarkConfig:
+    """Global map parameters (CreateLandmarksFromFeatures.m)."""
+
+    capacity: int = 1_000_000
+    min_depth: float = 0.0  # reference keeps z > 0 (CreateLandmarksFromFeatures.m:9)
+    max_depth: float = 80.0  # reference gate (CreateLandmarksFromFeatures.m:13)
+    stride: int = 2  # reference keeps every 2nd new point (CreateLandmarksFromFeatures.m:4)
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Sliding-window bundle adjustment (north-star extension; no reference counterpart)."""
+
+    window: int = 10  # keyframes in the window
+    max_points: int = 4096  # landmark capacity in the window
+    iters: int = 8
+    damping: float = 1e-3
+    huber_px: float = 2.0
+    keyframe_every: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for the distributed components."""
+
+    data: int = 1  # frame-parallel axis (front-end)
+    model: int = 1  # hypothesis/landmark-shard axis (RANSAC, BA)
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    sift: SIFTConfig = dataclasses.field(default_factory=SIFTConfig)
+    matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
+    ransac: RansacConfig = dataclasses.field(default_factory=RansacConfig)
+    landmarks: LandmarkConfig = dataclasses.field(default_factory=LandmarkConfig)
+    ba: BAConfig = dataclasses.field(default_factory=BAConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    max_tracks: int = 1024  # capacity of the temporal-track arrays
+    view_3d: bool = True  # the reference's single flag (VO.m:6)
+    viz_every: int = 100  # VO.m:168
+    dtype: str = "float32"

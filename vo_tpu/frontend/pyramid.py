@@ -1,0 +1,96 @@
+"""Gaussian / difference-of-Gaussian scale-space pyramid.
+
+The compute substrate for the SIFT-style detector that replaces MATLAB
+``detectSIFTFeatures`` (VO.m:79-80). Design notes for TPU:
+
+- All blurs are separable 1-D convolutions expressed via
+  ``lax.conv_general_dilated`` so XLA lowers them onto the conv/MXU path and
+  fuses the elementwise DoG subtraction.
+- Kernel taps are computed at trace time from the static sigma schedule —
+  shapes and weights are compile-time constants; nothing is data-dependent.
+- Each octave halves resolution by strided slicing of the (s+1)-th Gaussian
+  level (the standard Lowe construction).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SIFTConfig
+
+
+def gaussian_kernel_1d(sigma: float, radius: int | None = None) -> np.ndarray:
+    if radius is None:
+        radius = max(1, int(math.ceil(3.0 * sigma)))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def blur_separable(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """Separable Gaussian blur of [H, W] with SAME (edge-replicate) padding."""
+    k = jnp.asarray(kernel)
+    r = (k.shape[0] - 1) // 2
+    x = img[None, None]  # NCHW
+    x = jnp.pad(x, ((0, 0), (0, 0), (r, r), (r, r)), mode="edge")
+    kh = k.reshape(1, 1, -1, 1)
+    kw = k.reshape(1, 1, 1, -1)
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID")
+    return x[0, 0]
+
+
+class Pyramid(NamedTuple):
+    """Per-octave stacks. Lists are static-length python lists (one per octave)."""
+
+    gauss: list  # octave -> [S+3, H_o, W_o]
+    dog: list  # octave -> [S+2, H_o, W_o]
+    sigmas: np.ndarray  # [S+3] sigma of each level relative to octave base
+    n_scales: int  # S = scales_per_octave
+
+
+def sigma_schedule(cfg: SIFTConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Absolute per-level sigmas and the incremental blur from level i-1 -> i."""
+    s = cfg.scales_per_octave
+    k = 2.0 ** (1.0 / s)
+    sig = np.array([cfg.sigma0 * (k**i) for i in range(s + 3)])
+    inc = np.zeros_like(sig)
+    for i in range(1, s + 3):
+        inc[i] = math.sqrt(max(sig[i] ** 2 - sig[i - 1] ** 2, 1e-8))
+    return sig, inc
+
+
+def build_pyramid(img: jnp.ndarray, cfg: SIFTConfig) -> Pyramid:
+    """img: [H, W] float32 in [0, 1]."""
+    sig, inc = sigma_schedule(cfg)
+    s = cfg.scales_per_octave
+    # Base image: assume the input carries sigma ~0.5 of the camera; bring to sigma0.
+    base_blur = math.sqrt(max(cfg.sigma0**2 - 0.5**2, 0.01))
+    base = blur_separable(img, gaussian_kernel_1d(base_blur))
+    gauss_octaves = []
+    dog_octaves = []
+    cur = base
+    for o in range(cfg.n_octaves):
+        levels = [cur]
+        for i in range(1, s + 3):
+            levels.append(blur_separable(levels[-1], gaussian_kernel_1d(float(inc[i]))))
+        G = jnp.stack(levels)  # [S+3, H, W]
+        gauss_octaves.append(G)
+        dog_octaves.append(G[1:] - G[:-1])
+        # Next octave base: level S (sigma = 2*sigma0) downsampled 2x.
+        cur = levels[s][::2, ::2]
+    return Pyramid(gauss=gauss_octaves, dog=dog_octaves, sigmas=sig, n_scales=s)
+
+
+def gradients(G: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Central-difference gradients of a [S, H, W] Gaussian stack -> (gx, gy)."""
+    gx = 0.5 * (jnp.roll(G, -1, axis=2) - jnp.roll(G, 1, axis=2))
+    gy = 0.5 * (jnp.roll(G, -1, axis=1) - jnp.roll(G, 1, axis=1))
+    # Zero the wrapped borders.
+    gx = gx.at[:, :, 0].set(0).at[:, :, -1].set(0)
+    gy = gy.at[:, 0, :].set(0).at[:, -1, :].set(0)
+    return gx, gy

@@ -1,0 +1,324 @@
+"""SIFT-style feature detection and description, TPU-native.
+
+Replaces MATLAB ``detectSIFTFeatures`` + ``extractFeatures(...,"SIFT")``
+(VO.m:79-84). Behavioral contract replicated (defaults per MATLAB docs):
+DoG scale-space extrema with contrast threshold 0.0133 and edge threshold 10,
+sigma0 1.6, 3 scales/octave; 4x4x8 gradient-orientation descriptors with
+Gaussian weighting, trilinear binning, 0.2-clipped renormalization.
+
+TPU-first design (NOT a translation):
+- Extrema detection is dense 3x3x3 min/max pooling over the whole DoG stack
+  (``lax.reduce_window``) — no per-pixel scan.
+- Keypoint selection is ``top_k`` over the masked response map: the output is
+  a FIXED-capacity (max_keypoints) set with a validity mask, because XLA
+  requires static shapes (the reference returns ragged arrays).
+- Subpixel refinement, orientation histograms, and descriptors are one
+  ``vmap`` over the candidate axis; all image reads are bilinear gathers from
+  the flattened per-octave Gaussian/gradient stacks.
+- Everything jits; per-image work is a single XLA program per octave count.
+
+Known simplification vs Lowe/MATLAB: only the dominant orientation per
+keypoint is kept (MATLAB may emit multiple keypoints for peaks >= 80% of the
+max). This loses a few duplicate features but keeps shapes static.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SIFTConfig
+from . import pyramid as pyr_mod
+from .pyramid import Pyramid, build_pyramid, gradients
+
+
+class Features(NamedTuple):
+    """Fixed-capacity feature set for one image (replaces SIFTPoints + desc arrays)."""
+
+    xy: jnp.ndarray  # [K, 2] (x, y) pixel coords, 0-based, original resolution
+    scale: jnp.ndarray  # [K] absolute sigma
+    orientation: jnp.ndarray  # [K] radians
+    response: jnp.ndarray  # [K] |DoG| contrast
+    desc: jnp.ndarray  # [K, 128] L2-normalized
+    mask: jnp.ndarray  # [K] bool
+
+    @property
+    def capacity(self) -> int:
+        return self.xy.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# static descriptor geometry (computed once in numpy at import time)
+# ---------------------------------------------------------------------------
+
+_DESC_GRID = 16  # samples per axis
+_DESC_CELLS = 4
+_DESC_BINS = 8
+_ORI_R = 8  # orientation window radius (samples)
+
+
+def _spatial_weights() -> np.ndarray:
+    """[256, 16] trilinear spatial weights of each sample into the 4x4 cells."""
+    n, c = _DESC_GRID, _DESC_CELLS
+    w = np.zeros((n * n, c * c), dtype=np.float32)
+    for i in range(n):  # y
+        for j in range(n):  # x
+            cy = (i + 0.5) * c / n - 0.5  # cell-space coordinate
+            cx = (j + 0.5) * c / n - 0.5
+            y0, x0 = int(np.floor(cy)), int(np.floor(cx))
+            fy, fx = cy - y0, cx - x0
+            for dy, wy in ((0, 1 - fy), (1, fy)):
+                for dx, wx in ((0, 1 - fx), (1, fx)):
+                    yy, xx = y0 + dy, x0 + dx
+                    if 0 <= yy < c and 0 <= xx < c:
+                        w[i * n + j, yy * c + xx] = wy * wx
+    return w
+
+
+def _gauss_window(n: int, sigma: float) -> np.ndarray:
+    ax = np.arange(n) - (n - 1) / 2.0
+    g = np.exp(-0.5 * (ax / sigma) ** 2)
+    return np.outer(g, g).astype(np.float32).reshape(-1)
+
+
+_W_SPATIAL = _spatial_weights()  # [256, 16]
+_W_GAUSS_DESC = _gauss_window(_DESC_GRID, _DESC_GRID / 2.0)  # [256]
+
+
+def _bilinear_flat(flat: jnp.ndarray, level: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray, H: int, W: int):
+    """Bilinear sample a [L*H*W]-flattened stack at (level, ys, xs); level integer."""
+    x0 = jnp.clip(jnp.floor(xs), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(ys), 0, H - 2)
+    fx = jnp.clip(xs - x0, 0.0, 1.0)
+    fy = jnp.clip(ys - y0, 0.0, 1.0)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    base = level * (H * W) + y0i * W + x0i
+    v00 = jnp.take(flat, base, mode="clip")
+    v10 = jnp.take(flat, base + 1, mode="clip")
+    v01 = jnp.take(flat, base + W, mode="clip")
+    v11 = jnp.take(flat, base + W + 1, mode="clip")
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v10 * fx * (1 - fy)
+        + v01 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-octave detection
+# ---------------------------------------------------------------------------
+
+
+def _find_candidates(dog: jnp.ndarray, cfg: SIFTConfig, k_cap: int, border: int = 5):
+    """Dense extrema test + top-k selection on one octave's [S+2, H, W] DoG stack.
+
+    Returns (level, y, x, score, valid) each [k_cap]; level indexes the DoG
+    stack (inner levels 1..S).
+    """
+    S2, H, W = dog.shape
+    mx = jax.lax.reduce_window(dog, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
+    mn = jax.lax.reduce_window(dog, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "SAME")
+    is_ext = (dog >= mx) | (dog <= mn)
+    prefilter = jnp.abs(dog) > 0.5 * cfg.contrast_threshold
+    ys = jax.lax.broadcasted_iota(jnp.int32, dog.shape, 1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, dog.shape, 2)
+    inb = (ys >= border) & (ys < H - border) & (xs >= border) & (xs < W - border)
+    valid = is_ext & prefilter & inb
+    # Only inner levels can be 3D extrema centers.
+    levels = jax.lax.broadcasted_iota(jnp.int32, dog.shape, 0)
+    valid &= (levels >= 1) & (levels <= S2 - 2)
+    score = jnp.where(valid, jnp.abs(dog), -1.0)
+    flat = score.reshape(-1)
+    top, idx = jax.lax.top_k(flat, k_cap)
+    lvl = idx // (H * W)
+    rem = idx % (H * W)
+    return lvl, rem // W, rem % W, top, top > 0
+
+
+def _refine_one(dog_flat, lvl, y, x, H: int, W: int, cfg: SIFTConfig):
+    """Quadratic subpixel refinement of one candidate (vmapped).
+
+    Returns (dx, dy, ds, contrast, ok): offsets in (x, y, scale), interpolated
+    contrast, and the accept flag (offset bound + contrast + edge tests).
+    """
+    # Gather the 3x3x3 neighborhood.
+    dl = jnp.arange(-1, 2)
+    off_l, off_y, off_x = jnp.meshgrid(dl, dl, dl, indexing="ij")
+    idx = (lvl + off_l) * (H * W) + (y + off_y) * W + (x + off_x)
+    C = jnp.take(dog_flat, idx.reshape(-1), mode="clip").reshape(3, 3, 3)  # [l, y, x]
+    # Gradient and Hessian by central differences.
+    g = jnp.array(
+        [
+            0.5 * (C[1, 1, 2] - C[1, 1, 0]),  # d/dx
+            0.5 * (C[1, 2, 1] - C[1, 0, 1]),  # d/dy
+            0.5 * (C[2, 1, 1] - C[0, 1, 1]),  # d/ds
+        ]
+    )
+    c = C[1, 1, 1]
+    dxx = C[1, 1, 2] - 2 * c + C[1, 1, 0]
+    dyy = C[1, 2, 1] - 2 * c + C[1, 0, 1]
+    dss = C[2, 1, 1] - 2 * c + C[0, 1, 1]
+    dxy = 0.25 * (C[1, 2, 2] - C[1, 2, 0] - C[1, 0, 2] + C[1, 0, 0])
+    dxs = 0.25 * (C[2, 1, 2] - C[2, 1, 0] - C[0, 1, 2] + C[0, 1, 0])
+    dys = 0.25 * (C[2, 2, 1] - C[2, 0, 1] - C[0, 2, 1] + C[0, 0, 1])
+    Hm = jnp.array([[dxx, dxy, dxs], [dxy, dyy, dys], [dxs, dys, dss]])
+    det = jnp.linalg.det(Hm)
+    Hm_safe = Hm + jnp.where(jnp.abs(det) < 1e-12, 1e-6, 0.0) * jnp.eye(3)
+    offset = -jnp.linalg.solve(Hm_safe, g)
+    contrast = c + 0.5 * jnp.dot(g, offset)
+    ok = jnp.all(jnp.abs(offset) < 0.6)
+    ok &= jnp.abs(contrast) >= cfg.contrast_threshold
+    # Edge response on the 2x2 spatial Hessian (Lowe's r-test).
+    tr = dxx + dyy
+    det2 = dxx * dyy - dxy * dxy
+    r = cfg.edge_threshold
+    ok &= (det2 > 0) & (tr * tr * r < (r + 1) ** 2 * det2)
+    return offset[0], offset[1], offset[2], contrast, ok
+
+
+def _orientation_one(gx_flat, gy_flat, lvl, yc, xc, sigma_rel, H: int, W: int, cfg: SIFTConfig):
+    """Dominant gradient orientation of one keypoint (vmapped). Returns radians."""
+    R = _ORI_R
+    d = jnp.arange(-R, R + 1, dtype=jnp.float32)
+    oy, ox = jnp.meshgrid(d, d, indexing="ij")
+    # Sample spacing proportional to the keypoint scale (window radius ~ 3*1.5*sigma).
+    step = 1.5 * sigma_rel * 3.0 / R
+    ys = yc + oy.reshape(-1) * step
+    xs = xc + ox.reshape(-1) * step
+    gxs = _bilinear_flat(gx_flat, lvl, ys, xs, H, W)
+    gys = _bilinear_flat(gy_flat, lvl, ys, xs, H, W)
+    mag = jnp.sqrt(gxs * gxs + gys * gys)
+    w = jnp.exp(-(oy.reshape(-1) ** 2 + ox.reshape(-1) ** 2) / (2.0 * (R / 1.5) ** 2))
+    ang = jnp.arctan2(gys, gxs)  # [-pi, pi]
+    nb = cfg.ori_bins
+    b = (ang / (2 * jnp.pi) + 0.5) * nb  # [0, nb]
+    b0 = jnp.floor(b)
+    fb = b - b0
+    b0i = b0.astype(jnp.int32) % nb
+    b1i = (b0i + 1) % nb
+    wm = w * mag
+    onehot0 = jax.nn.one_hot(b0i, nb, dtype=wm.dtype)
+    onehot1 = jax.nn.one_hot(b1i, nb, dtype=wm.dtype)
+    hist = jnp.einsum("p,pb->b", wm * (1 - fb), onehot0) + jnp.einsum("p,pb->b", wm * fb, onehot1)
+    # Circular smoothing (two box passes).
+    for _ in range(2):
+        hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+    peak = jnp.argmax(hist)
+    hl = hist[(peak - 1) % nb]
+    hc = hist[peak]
+    hr = hist[(peak + 1) % nb]
+    denom = hl - 2 * hc + hr
+    interp = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hl - hr) / denom, 0.0)
+    bin_f = peak.astype(jnp.float32) + interp
+    return (bin_f / nb - 0.5 + 1.0 / (2 * nb)) * 2 * jnp.pi
+
+
+def _descriptor_one(gx_flat, gy_flat, lvl, yc, xc, sigma_rel, theta, H: int, W: int):
+    """128-D SIFT descriptor of one keypoint (vmapped)."""
+    n = _DESC_GRID
+    d = jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0
+    oy, ox = jnp.meshgrid(d, d, indexing="ij")
+    oy = oy.reshape(-1)
+    ox = ox.reshape(-1)
+    # Sample spacing: 3*sigma per histogram cell, 4 samples per cell.
+    step = 3.0 * sigma_rel / (n / _DESC_CELLS)
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    xs = xc + (ct * ox - st * oy) * step
+    ys = yc + (st * ox + ct * oy) * step
+    gxs = _bilinear_flat(gx_flat, lvl, ys, xs, H, W)
+    gys = _bilinear_flat(gy_flat, lvl, ys, xs, H, W)
+    # Rotate gradients into the keypoint frame.
+    rgx = ct * gxs + st * gys
+    rgy = -st * gxs + ct * gys
+    mag = jnp.sqrt(rgx * rgx + rgy * rgy) * jnp.asarray(_W_GAUSS_DESC)
+    ang = jnp.arctan2(rgy, rgx)
+    nb = _DESC_BINS
+    b = (ang / (2 * jnp.pi) + 0.5) * nb
+    b0 = jnp.floor(b)
+    fb = b - b0
+    b0i = b0.astype(jnp.int32) % nb
+    b1i = (b0i + 1) % nb
+    onehot0 = jax.nn.one_hot(b0i, nb, dtype=mag.dtype) * ((1 - fb) * mag)[:, None]
+    onehot1 = jax.nn.one_hot(b1i, nb, dtype=mag.dtype) * (fb * mag)[:, None]
+    ori_w = onehot0 + onehot1  # [256, 8]
+    desc = jnp.einsum("pc,pb->cb", jnp.asarray(_W_SPATIAL), ori_w).reshape(-1)  # [128]
+    # Normalize -> clip 0.2 -> renormalize (Lowe).
+    desc = desc / (jnp.linalg.norm(desc) + 1e-12)
+    desc = jnp.minimum(desc, 0.2)
+    desc = desc / (jnp.linalg.norm(desc) + 1e-12)
+    return desc
+
+
+def _octave_caps(cfg: SIFTConfig) -> list:
+    return [max(64, cfg.max_keypoints >> o) for o in range(cfg.n_octaves)]
+
+
+def detect_and_describe(img: jnp.ndarray, cfg: SIFTConfig) -> Features:
+    """Full detector + descriptor for one [H, W] image. Jit-friendly.
+
+    Output is a fixed-capacity Features (cfg.max_keypoints) with validity mask.
+    """
+    pyr = build_pyramid(img, cfg)
+    sig, _ = pyr_mod.sigma_schedule(cfg)
+    per_octave = []
+    for o in range(cfg.n_octaves):
+        dog = pyr.dog[o]
+        G = pyr.gauss[o]
+        S2, H, W = dog.shape
+        k_cap = _octave_caps(cfg)[o]
+        lvl, ys, xs, score, valid = _find_candidates(dog, cfg, k_cap)
+        dog_flat = dog.reshape(-1)
+        refine = jax.vmap(lambda l, y, x: _refine_one(dog_flat, l, y, x, H, W, cfg))
+        dx, dy, ds, contrast, ok = refine(lvl, ys, xs)
+        valid &= ok
+        xf = xs.astype(jnp.float32) + dx
+        yf = ys.astype(jnp.float32) + dy
+        lf = lvl.astype(jnp.float32) + ds
+        # sigma relative to the octave base (for window sizing) and absolute.
+        sigma_rel = cfg.sigma0 * (2.0 ** (lf / cfg.scales_per_octave))
+        sigma_abs = sigma_rel * (2.0**o)
+        gx, gy = gradients(G)
+        gx_flat = gx.reshape(-1)
+        gy_flat = gy.reshape(-1)
+        GH, GW = G.shape[1], G.shape[2]
+        ori = jax.vmap(
+            lambda l, y, x, s: _orientation_one(gx_flat, gy_flat, l, y, x, s, GH, GW, cfg)
+        )(lvl, yf, xf, sigma_rel)
+        desc = jax.vmap(
+            lambda l, y, x, s, t: _descriptor_one(gx_flat, gy_flat, l, y, x, s, t, GH, GW)
+        )(lvl, yf, xf, sigma_rel, ori)
+        scale_factor = float(2**o)
+        per_octave.append(
+            Features(
+                xy=jnp.stack([xf, yf], axis=-1) * scale_factor,
+                scale=sigma_abs,
+                orientation=ori,
+                response=jnp.abs(contrast),
+                desc=desc,
+                mask=valid,
+            )
+        )
+    # Merge octaves: global top-k by response.
+    xy = jnp.concatenate([f.xy for f in per_octave])
+    scale = jnp.concatenate([f.scale for f in per_octave])
+    orientation = jnp.concatenate([f.orientation for f in per_octave])
+    response = jnp.concatenate([f.response for f in per_octave])
+    desc = jnp.concatenate([f.desc for f in per_octave])
+    mask = jnp.concatenate([f.mask for f in per_octave])
+    k = cfg.max_keypoints
+    score = jnp.where(mask, response, -1.0)
+    _, idx = jax.lax.top_k(score, k)
+    sel_mask = jnp.take(score, idx) > 0
+    return Features(
+        xy=jnp.take(xy, idx, axis=0),
+        scale=jnp.take(scale, idx),
+        orientation=jnp.take(orientation, idx),
+        response=jnp.take(response, idx),
+        desc=jnp.take(desc, idx, axis=0),
+        mask=sel_mask,
+    )

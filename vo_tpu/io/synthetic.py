@@ -1,0 +1,224 @@
+"""Synthetic stereo-sequence generation for tests and benchmarks.
+
+The reference repo ships calibration, times, and ground-truth poses for KITTI
+odometry sequences 00-10 but git-ignores the images (reference .gitignore:1-2)
+— the user is expected to download them. To keep this framework's tests and
+benchmarks hermetic, this module renders synthetic stereo frames that are
+*geometrically faithful* to KITTI: real calibration (kitti/00/calib.txt), real
+GT trajectories (kitti/poses/00.txt), and a random textured 3D landmark field,
+rasterized through the actual projection model.
+
+Two levels:
+- ``make_tracks`` — no images; exact 2D/3D correspondences (+ noise/outliers)
+  for unit-testing triangulation, RANSAC-P3P, BA.
+- ``SyntheticSequence`` — rendered grayscale stereo pairs driving the full
+  detect→describe→match→pose pipeline end-to-end.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from ..geom.camera import StereoCalib
+
+
+def _c2w_apply(T: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    return pts @ T[:3, :3].T + T[:3, 3]
+
+
+def _w2c_apply(T: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    R = T[:3, :3]
+    return (pts - T[:3, 3]) @ R
+
+
+def scatter_landmarks(
+    rng: np.random.Generator,
+    gt_poses: np.ndarray,
+    n_landmarks: int,
+    depth_range=(5.0, 60.0),
+    lateral_range=(-25.0, 25.0),
+    height_range=(-4.0, 3.0),
+) -> np.ndarray:
+    """Strew [N, 3] world-frame landmarks along the GT trajectory.
+
+    Each landmark is anchored to a random pose and offset in that camera's
+    frame so every frame sees a healthy population.
+    """
+    idx = rng.integers(0, gt_poses.shape[0], size=n_landmarks)
+    z = rng.uniform(*depth_range, size=n_landmarks)
+    x = rng.uniform(*lateral_range, size=n_landmarks)
+    y = rng.uniform(*height_range, size=n_landmarks)
+    cam_pts = np.stack([x, y, z], axis=-1)
+    out = np.empty((n_landmarks, 3), dtype=np.float64)
+    for i in range(n_landmarks):
+        out[i] = _c2w_apply(gt_poses[idx[i]], cam_pts[i])
+    return out
+
+
+class Tracks(NamedTuple):
+    """Exact correspondences for one frame pair (no images)."""
+
+    px_prev_l: np.ndarray  # [N, 2] left pixels, frame i-1
+    px_prev_r: np.ndarray  # [N, 2] right pixels, frame i-1
+    px_cur_l: np.ndarray  # [N, 2] left pixels, frame i
+    px_cur_r: np.ndarray  # [N, 2] right pixels, frame i
+    pts_prev_cam: np.ndarray  # [N, 3] 3D in frame i-1 camera coords
+    pts_cur_cam: np.ndarray  # [N, 3] 3D in frame i camera coords
+    rel_pose: np.ndarray  # [4, 4] camera-i pose in frame i-1 coords (the estworldpose target)
+
+
+def project_np(P: np.ndarray, pts_cam: np.ndarray) -> np.ndarray:
+    Xh = np.concatenate([pts_cam, np.ones_like(pts_cam[:, :1])], axis=-1)
+    uvw = Xh @ P.T
+    return uvw[:, :2] / uvw[:, 2:3]
+
+
+def make_tracks(
+    rng: np.random.Generator,
+    calib: StereoCalib,
+    pose_prev_c2w: np.ndarray,
+    pose_cur_c2w: np.ndarray,
+    landmarks_world: np.ndarray,
+    noise_px: float = 0.0,
+    outlier_frac: float = 0.0,
+    max_points: int | None = None,
+) -> Tracks:
+    """Correspondences between two stereo frames for landmarks visible in all 4 views."""
+    H, W = calib.image_size
+    P1 = np.asarray(calib.P1, dtype=np.float64)
+    P2 = np.asarray(calib.P2, dtype=np.float64)
+
+    prev_cam = _w2c_apply(pose_prev_c2w, landmarks_world)
+    cur_cam = _w2c_apply(pose_cur_c2w, landmarks_world)
+    pxs = [project_np(P, pts) for P, pts in ((P1, prev_cam), (P2, prev_cam), (P1, cur_cam), (P2, cur_cam))]
+    vis = (prev_cam[:, 2] > 1.0) & (cur_cam[:, 2] > 1.0)
+    for px in pxs:
+        vis &= (px[:, 0] >= 0) & (px[:, 0] < W) & (px[:, 1] >= 0) & (px[:, 1] < H)
+    keep = np.flatnonzero(vis)
+    if max_points is not None and keep.size > max_points:
+        keep = rng.choice(keep, size=max_points, replace=False)
+    pxs = [px[keep] for px in pxs]
+    prev_cam, cur_cam = prev_cam[keep], cur_cam[keep]
+
+    if noise_px > 0:
+        pxs = [px + rng.normal(scale=noise_px, size=px.shape) for px in pxs]
+    n = keep.size
+    if outlier_frac > 0 and n > 0:
+        n_out = int(outlier_frac * n)
+        out_idx = rng.choice(n, size=n_out, replace=False)
+        # Corrupt the current-left observation (the one RANSAC scores against).
+        pxs[2][out_idx] = np.stack(
+            [rng.uniform(0, W, n_out), rng.uniform(0, H, n_out)], axis=-1
+        )
+
+    rel = np.linalg.inv(pose_prev_c2w) @ pose_cur_c2w
+    return Tracks(
+        px_prev_l=pxs[0],
+        px_prev_r=pxs[1],
+        px_cur_l=pxs[2],
+        px_cur_r=pxs[3],
+        pts_prev_cam=prev_cam,
+        pts_cur_cam=cur_cam,
+        rel_pose=rel,
+    )
+
+
+class SyntheticSequence:
+    """Rendered stereo feed: textured landmark splats through real KITTI geometry.
+
+    Matches the surface of io.kitti.StereoSequence (frame(i) -> (left, right)
+    float32 [H, W] in [0,1]) so the VO runner is agnostic to real vs synthetic.
+    """
+
+    def __init__(
+        self,
+        calib: StereoCalib,
+        gt_poses: np.ndarray,
+        times: np.ndarray | None = None,
+        n_landmarks: int = 4000,
+        patch: int = 9,
+        seed: int = 0,
+        image_size: tuple | None = None,
+    ):
+        self.calib = calib
+        self.gt_poses = gt_poses
+        self.times = times
+        self.H, self.W = image_size if image_size is not None else calib.image_size
+        rng = np.random.default_rng(seed)
+        self.landmarks = scatter_landmarks(rng, gt_poses, n_landmarks)
+        self.patch = patch
+        # Per-landmark fingerprint texture: random pattern under a Gaussian
+        # window gives each splat a distinctive SIFT descriptor, so descriptor
+        # matching is unambiguous across views.
+        g = np.exp(
+            -0.5
+            * (np.arange(patch) - patch // 2) ** 2
+            / (patch / 3.5) ** 2
+        )
+        window = np.outer(g, g)
+        tex = rng.uniform(0.25, 1.0, size=(n_landmarks, patch, patch))
+        sign = rng.choice([-1.0, 1.0], size=(n_landmarks, 1, 1))
+        self.textures = (tex * window * sign).astype(np.float32)
+
+    def __len__(self) -> int:
+        return self.gt_poses.shape[0]
+
+    def _render(self, pts_cam: np.ndarray, P: np.ndarray) -> np.ndarray:
+        H, W, p = self.H, self.W, self.patch
+        half = p // 2
+        img = np.full((H + 2 * p, W + 2 * p), 0.35, dtype=np.float32)
+        vis = pts_cam[:, 2] > 1.0
+        px = project_np(P, np.where(vis[:, None], pts_cam, np.array([0.0, 0.0, 10.0])))
+        inb = vis & (px[:, 0] >= 1) & (px[:, 0] < W - 1) & (px[:, 1] >= 1) & (px[:, 1] < H - 1)
+        # Depth-sorted far-to-near so near splats overwrite-ish (additive here).
+        for i in np.flatnonzero(inb):
+            u, v = px[i]
+            iu, iv = int(np.floor(u)), int(np.floor(v))
+            fu, fv = u - iu, v - iv
+            # Bilinear subpixel splat of the landmark's texture.
+            w00 = (1 - fu) * (1 - fv)
+            w10 = fu * (1 - fv)
+            w01 = (1 - fu) * fv
+            w11 = fu * fv
+            t = self.textures[i]
+            r0, c0 = iv - half + p, iu - half + p
+            img[r0 : r0 + p, c0 : c0 + p] += w00 * t
+            img[r0 : r0 + p, c0 + 1 : c0 + p + 1] += w10 * t
+            img[r0 + 1 : r0 + p + 1, c0 : c0 + p] += w01 * t
+            img[r0 + 1 : r0 + p + 1, c0 + 1 : c0 + p + 1] += w11 * t
+        return np.clip(img[p : p + H, p : p + W], 0.0, 1.0)
+
+    def frame(self, i: int):
+        pose = self.gt_poses[i]
+        pts_cam = _w2c_apply(pose, self.landmarks)
+        left = self._render(pts_cam, np.asarray(self.calib.P1, dtype=np.float64))
+        right = self._render(pts_cam, np.asarray(self.calib.P2, dtype=np.float64))
+        return left, right
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.frame(i)
+
+
+def kitti_synthetic_sequence(
+    reference_root: str = "/root/reference",
+    seq: str = "00",
+    n_frames: int = 50,
+    n_landmarks: int = 4000,
+    seed: int = 0,
+    image_size: tuple | None = None,
+):
+    """Convenience: synthetic feed using the real KITTI calib + GT poses shipped in the reference."""
+    import os
+
+    from . import kitti
+
+    seq_dir = os.path.join(reference_root, "kitti", seq)
+    calib = kitti.load_stereo_calib(seq_dir)
+    poses = kitti.read_poses(os.path.join(reference_root, "kitti", "poses", f"{seq}.txt"))[:n_frames]
+    times_path = os.path.join(seq_dir, "times.txt")
+    times = kitti.read_times(times_path)[:n_frames] if os.path.exists(times_path) else None
+    return SyntheticSequence(
+        calib, poses, times=times, n_landmarks=n_landmarks, seed=seed, image_size=image_size
+    )
