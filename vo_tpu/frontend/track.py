@@ -45,14 +45,23 @@ class TrackResult(NamedTuple):
 
 def stereo_features(feats_l: Features, feats_r: Features, cfg: MatcherConfig, capacity: int) -> StereoFeatures:
     """Frame's stereo-matched subset (the VO.m:87 + VO.m:141-144 contract)."""
+    sf, _ = stereo_features_with_matches(feats_l, feats_r, cfg, capacity)
+    return sf
+
+
+def stereo_features_with_matches(
+    feats_l: Features, feats_r: Features, cfg: MatcherConfig, capacity: int
+):
+    """Like stereo_features but also returns the raw Matches (index payload)."""
     m = match(feats_l.desc, feats_l.mask, feats_r.desc, feats_r.mask, cfg, capacity)
-    return StereoFeatures(
+    sf = StereoFeatures(
         l_xy=gather_rows(feats_l.xy, m.a_idx, m.mask),
         r_xy=gather_rows(feats_r.xy, m.b_idx, m.mask),
         l_desc=gather_rows(feats_l.desc, m.a_idx, m.mask),
         r_desc=gather_rows(feats_r.desc, m.b_idx, m.mask),
         mask=m.mask,
     )
+    return sf, m
 
 
 def track(

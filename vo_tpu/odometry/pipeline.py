@@ -1,0 +1,164 @@
+"""Per-frame VO step: the reference's main loop body as ONE jitted program.
+
+Replicates the VO.m:64-232 loop semantics — detect (VO.m:79-84), stereo match
+(VO.m:87), 4-view temporal cascade (VO.m:280-334), triangulate both frames
+(VO.m:113-116), RANSAC-P3P pose (VO.m:123-127), chain into the world frame
+(VO.m:130), select brand-new stereo features for the landmark map
+(VO.m:141-161) — but as a single static-shape XLA program:
+
+- state carried across frames is a fixed-capacity StereoFeatures + the pose
+  (the VO.m:225-231 ``features``/``pose`` contract),
+- first-frame behavior falls out of the mask algebra (empty prev set =>
+  tracker yields nothing => pose update falls back to identity), no python
+  branch on frame index,
+- on pose-estimation failure the step falls back to a constant-velocity
+  model (the reference would abort, VO.m has no try/catch — SURVEY §5),
+- the "is this landmark new" test replaces the reference's O(K*M)
+  coordinate-equality scan (VO.m:147-154, "terribly slow") with an index-set
+  membership matrix over the fixed capacities.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..frontend.sift import Features, detect_and_describe
+from ..frontend.track import (
+    StereoFeatures,
+    TrackResult,
+    stereo_features_with_matches,
+    track,
+)
+from ..geom import se3
+from ..geom.camera import StereoCalib
+from ..geom.triangulate import triangulate_rectified
+from ..pose.ransac import estimate_world_pose
+from ..utils.padding import gather_rows
+
+
+class VOState(NamedTuple):
+    prev: StereoFeatures  # stereo-matched features of the previous frame
+    pose_c2w: jnp.ndarray  # [4, 4] world pose (identity at start, VO.m:58)
+    prev_rel: jnp.ndarray  # [4, 4] last relative pose (constant-velocity fallback)
+    frame_idx: jnp.ndarray  # scalar int32
+
+
+class FrameOutput(NamedTuple):
+    pose_c2w: jnp.ndarray  # [4, 4] world pose after this frame
+    rel_pose: jnp.ndarray  # [4, 4] estimated relative pose (estworldpose analogue)
+    pose_ok: jnp.ndarray  # bool — RANSAC succeeded (False on frame 1 / fallback)
+    n_tracks: jnp.ndarray  # tracked correspondences entering RANSAC
+    n_inliers: jnp.ndarray
+    mean_reproj_err: jnp.ndarray
+    # Viz / landmark payloads (fixed capacity + masks):
+    tracked_cur_px: jnp.ndarray  # [C, 2] current left px of tracked features
+    tracked_old_px: jnp.ndarray  # [C, 2] previous left px (flow overlay, ShowFeaturesOnFeed)
+    tracked_disp_3d: jnp.ndarray  # [C] displacement magnitude label (ShowFeaturesOnFeed.m:12)
+    tracked_mask: jnp.ndarray  # [C]
+    new_lm_l_px: jnp.ndarray  # [C, 2] left px of NEW stereo features (VO.m:157-158)
+    new_lm_r_px: jnp.ndarray  # [C, 2]
+    new_lm_mask: jnp.ndarray  # [C]
+
+
+def init_state(cfg: PipelineConfig) -> VOState:
+    c = cfg.max_tracks
+    z2 = jnp.zeros((c, 2), jnp.float32)
+    zd = jnp.zeros((c, 128), jnp.float32)
+    prev = StereoFeatures(l_xy=z2, r_xy=z2, l_desc=zd, r_desc=zd, mask=jnp.zeros(c, bool))
+    eye = jnp.eye(4, dtype=jnp.float32)
+    return VOState(prev=prev, pose_c2w=eye, prev_rel=eye, frame_idx=jnp.int32(0))
+
+
+def _membership(query_idx, query_mask, ref_idx, ref_mask):
+    """query_idx[i] in ref_idx set? -> [Cq] bool (masked)."""
+    eq = query_idx[:, None] == ref_idx[None, :]
+    eq &= query_mask[:, None] & ref_mask[None, :]
+    return jnp.any(eq, axis=1)
+
+
+def vo_step(
+    state: VOState,
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    key: jax.Array,
+    calib: StereoCalib,
+    cfg: PipelineConfig,
+) -> tuple[VOState, FrameOutput]:
+    """One frame. Jit with static (calib-as-weak-static via closure, cfg static)."""
+    cap = cfg.max_tracks
+
+    # --- front-end (VO.m:79-87) ---
+    feats_l = detect_and_describe(left, cfg.sift)
+    feats_r = detect_and_describe(right, cfg.sift)
+    stereo, m_st = stereo_features_with_matches(feats_l, feats_r, cfg.matcher, cap)
+
+    # --- temporal 4-view cascade (VO.m:106-107 / 280-334) ---
+    tr: TrackResult = track(state.prev, feats_l, feats_r, cfg.matcher, cap)
+    cur_l_px = gather_rows(feats_l.xy, tr.cur_l_idx, tr.mask)
+    cur_r_px = gather_rows(feats_r.xy, tr.cur_r_idx, tr.mask)
+    old_l_px = gather_rows(state.prev.l_xy, tr.old_row, tr.mask)
+    old_r_px = gather_rows(state.prev.r_xy, tr.old_row, tr.mask)
+
+    # --- triangulate both frames (VO.m:113-116), batched ---
+    X_prev = triangulate_rectified(old_l_px, old_r_px, calib)
+    X_cur = triangulate_rectified(cur_l_px, cur_r_px, calib)
+    depth_ok = (X_prev[:, 2] > 0.1) & (X_prev[:, 2] < 400.0)
+    pose_mask = tr.mask & depth_ok
+
+    # --- RANSAC-P3P world pose (VO.m:123-127) ---
+    est = estimate_world_pose(cur_l_px, X_prev, pose_mask, calib, cfg.ransac, key)
+
+    # --- chain / fallback (VO.m:130) ---
+    first = state.frame_idx == 0
+    # Constant-velocity fallback when RANSAC fails mid-sequence; identity on frame 1.
+    fallback = jnp.where(first, jnp.eye(4, dtype=state.prev_rel.dtype), state.prev_rel)
+    rel = jnp.where(est.ok, est.pose_c2w, fallback)
+    pose = jnp.where(first, state.pose_c2w, se3.compose(state.pose_c2w, rel))
+
+    # --- new-landmark selection (VO.m:141-161) ---
+    # A current stereo pair is "new" iff its LEFT feature wasn't tracked from
+    # the previous frame (index membership, replacing the VO.m:148-154 scan).
+    tracked_l = _membership(m_st.a_idx, m_st.mask, tr.cur_l_idx, tr.mask)
+    new_mask = m_st.mask & ~tracked_l
+    new_l_px = gather_rows(feats_l.xy, m_st.a_idx, new_mask)
+    new_r_px = gather_rows(feats_r.xy, m_st.b_idx, new_mask)
+
+    # --- per-feature 3D displacement labels (ShowFeaturesOnFeed.m:11-12) ---
+    disp = jnp.linalg.norm(X_cur - X_prev, axis=-1)
+
+    new_state = VOState(
+        prev=stereo,
+        pose_c2w=pose,
+        prev_rel=rel,
+        frame_idx=state.frame_idx + 1,
+    )
+    out = FrameOutput(
+        pose_c2w=pose,
+        rel_pose=rel,
+        pose_ok=est.ok & ~first,
+        n_tracks=jnp.sum(pose_mask),
+        n_inliers=est.n_inliers,
+        mean_reproj_err=est.mean_err,
+        tracked_cur_px=cur_l_px,
+        tracked_old_px=old_l_px,
+        tracked_disp_3d=jnp.where(tr.mask, disp, 0.0),
+        tracked_mask=tr.mask,
+        new_lm_l_px=new_l_px,
+        new_lm_r_px=new_r_px,
+        new_lm_mask=new_mask,
+    )
+    return new_state, out
+
+
+def make_jitted_step(calib: StereoCalib, cfg: PipelineConfig):
+    """Compile the per-frame step once; returns step(state, left, right, key)."""
+
+    @jax.jit
+    def step(state, left, right, key):
+        return vo_step(state, left, right, key, calib, cfg)
+
+    return step

@@ -1,0 +1,139 @@
+"""Host-side sequence runner: IO loop around the jitted per-frame step.
+
+The reference's outer ``for i = 1:n_frames`` (VO.m:64) with its every-100th
+frame telemetry (VO.m:168-204) and end-of-run persistence (VO.m:247-253).
+Host does IO + bookkeeping only; all math runs in the single jitted step.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..geom.camera import StereoCalib
+from . import landmarks as lm_mod
+from .pipeline import init_state, make_jitted_step
+
+
+@dataclasses.dataclass
+class RunResult:
+    poses: np.ndarray  # [T, 4, 4] world poses (frames 2..N like all_poses, VO.m:133)
+    rel_poses: np.ndarray  # [T, 4, 4]
+    n_inliers: np.ndarray  # [T]
+    n_tracks: np.ndarray  # [T]
+    pose_ok: np.ndarray  # [T] bool
+    landmarks: np.ndarray  # [M, 3]
+    frames_per_sec: float
+    per_frame_ms: float
+
+
+def run_sequence(
+    seq,
+    cfg: PipelineConfig,
+    n_frames: Optional[int] = None,
+    seed: int = 0,
+    insert_landmarks: Optional[bool] = None,
+    progress: Optional[Callable[[int, dict], None]] = None,
+    warmup: bool = True,
+) -> RunResult:
+    """Run VO over ``seq`` (StereoSequence or SyntheticSequence surface).
+
+    ``insert_landmarks`` defaults to cfg.view_3d (the reference's single flag,
+    VO.m:6/145).
+    """
+    calib: StereoCalib = seq.calib
+    if insert_landmarks is None:
+        insert_landmarks = cfg.view_3d
+    n = len(seq) if n_frames is None else min(n_frames, len(seq))
+    step = make_jitted_step(calib, cfg)
+    insert = jax.jit(
+        lambda m, lpx, rpx, msk, pose: lm_mod.insert(m, lpx, rpx, msk, pose, calib, cfg.landmarks)
+    )
+    state = init_state(cfg)
+    lmap = lm_mod.init_map(cfg.landmarks)
+    key = jax.random.PRNGKey(seed)
+
+    poses, rels, n_in, n_tr, oks = [], [], [], [], []
+    # Warm-up compile on frame 0 data so timing excludes compilation.
+    t_compile0 = time.perf_counter()
+    if warmup:
+        l0, r0 = seq.frame(0)
+        l0 = jnp.asarray(l0, jnp.float32)
+        r0 = jnp.asarray(r0, jnp.float32)
+        s_w, o_w = step(state, l0, r0, key)
+        jax.block_until_ready(o_w.pose_c2w)
+        if insert_landmarks:
+            m_w = insert(lmap, o_w.new_lm_l_px, o_w.new_lm_r_px, o_w.new_lm_mask, o_w.pose_c2w)
+            jax.block_until_ready(m_w.xyz)
+    compile_s = time.perf_counter() - t_compile0
+
+    t0 = time.perf_counter()
+    for i in range(n):
+        left, right = seq.frame(i)
+        key, sub = jax.random.split(key)
+        state, out = step(
+            state, jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32), sub
+        )
+        if insert_landmarks:
+            lmap = insert(lmap, out.new_lm_l_px, out.new_lm_r_px, out.new_lm_mask, out.pose_c2w)
+        if i > 0:  # all_poses starts at frame 2 (VO.m:133)
+            poses.append(np.asarray(out.pose_c2w))
+            rels.append(np.asarray(out.rel_pose))
+            n_in.append(int(out.n_inliers))
+            n_tr.append(int(out.n_tracks))
+            oks.append(bool(out.pose_ok))
+        if progress is not None:
+            progress(
+                i,
+                dict(
+                    n_tracks=int(out.n_tracks),
+                    n_inliers=int(out.n_inliers),
+                    pose_ok=bool(out.pose_ok),
+                ),
+            )
+    jax.block_until_ready(state.pose_c2w)
+    wall = time.perf_counter() - t0
+
+    count = int(lmap.count)
+    lms = np.asarray(lmap.xyz[:count]) if insert_landmarks else np.zeros((0, 3), np.float32)
+    return RunResult(
+        poses=np.asarray(poses) if poses else np.zeros((0, 4, 4), np.float32),
+        rel_poses=np.asarray(rels) if rels else np.zeros((0, 4, 4), np.float32),
+        n_inliers=np.asarray(n_in, np.int32),
+        n_tracks=np.asarray(n_tr, np.int32),
+        pose_ok=np.asarray(oks, bool),
+        landmarks=lms,
+        frames_per_sec=n / wall if wall > 0 else float("nan"),
+        per_frame_ms=1000.0 * wall / max(n, 1),
+    )
+
+
+def save_result(result: RunResult, out_dir: str) -> None:
+    """npz persistence replacing poses.mat / error.mat / landmarks.mat (VO.m:247-253)."""
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(out_dir, "trajectory.npz"),
+        poses=result.poses,
+        rel_poses=result.rel_poses,
+        n_inliers=result.n_inliers,
+        n_tracks=result.n_tracks,
+        pose_ok=result.pose_ok,
+    )
+    np.savez_compressed(os.path.join(out_dir, "landmarks.npz"), landmarks=result.landmarks)
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(
+            dict(
+                frames_per_sec=result.frames_per_sec,
+                per_frame_ms=result.per_frame_ms,
+                n_frames=int(result.poses.shape[0]) + 1,
+            ),
+            f,
+            indent=2,
+        )
