@@ -101,25 +101,30 @@ def refine_pose(
     return R, t
 
 
-def estimate_world_pose(
-    px2d: jnp.ndarray,  # [N, 2] current-frame LEFT pixels (VO.m:124)
-    pts3d: jnp.ndarray,  # [N, 3] 3D points in the reference (prev-camera) frame (VO.m:125)
-    mask: jnp.ndarray,  # [N] validity
+def best_hypothesis(
+    px2d: jnp.ndarray,
+    pts3d: jnp.ndarray,
+    mask: jnp.ndarray,
     calib: StereoCalib,
     cfg: RansacConfig,
     key: jax.Array,
-) -> PoseEstimate:
-    """Hypothesis-parallel RANSAC-P3P. Fully jittable, fixed shapes throughout."""
-    n = px2d.shape[0]
-    n_valid = jnp.sum(mask)
-    bear = _bearings(px2d, calib)
+    n_hypotheses: int | None = None,
+):
+    """Hypothesize + MSAC-score a batch; return the local winner.
 
-    # --- hypothesize ---
-    idx = _sample_triples(key, mask, cfg.n_hypotheses)  # [H, 3]
+    Split out so dist.ransac_sharded can run it per mesh shard (each shard
+    draws its own hypothesis batch) and reduce the winners with one
+    all_gather/argmin — the TPU analogue of distributing the MSAC loop.
+
+    Returns (R_w2c, t_w2c, msac_score, any_valid).
+    """
+    n_hyp = cfg.n_hypotheses if n_hypotheses is None else n_hypotheses
+    bear = _bearings(px2d, calib)
+    idx = _sample_triples(key, mask, n_hyp)  # [H, 3]
     tri_bear = jnp.take(bear, idx, axis=0)  # [H, 3, 3]
     tri_pts = jnp.take(pts3d, idx, axis=0)  # [H, 3, 3]
     sols = p3p_grunert(tri_bear, tri_pts)  # [H, 4, ...]
-    H_total = cfg.n_hypotheses * 4
+    H_total = n_hyp * 4
     R_all = sols.R_w2c.reshape(H_total, 3, 3)
     t_all = sols.t_w2c.reshape(H_total, 3)
     valid_h = sols.valid.reshape(H_total)
@@ -128,14 +133,30 @@ def estimate_world_pose(
     pred, z = _project_w2c(R_all, t_all, pts3d, calib)  # [H, N, 2]
     err2 = jnp.sum((pred - px2d) ** 2, axis=-1)  # [H, N]
     thr2 = cfg.max_reproj_err_px**2
-    in_front = z > 0.0
-    point_ok = mask[None, :] & in_front
+    point_ok = mask[None, :] & (z > 0.0)
     msac = jnp.sum(jnp.where(point_ok, jnp.minimum(err2, thr2), thr2), axis=-1)
     msac = jnp.where(valid_h, msac, jnp.inf)
     best = jnp.argmin(msac)
-    R_best = R_all[best]
-    t_best = t_all[best]
-    inliers0 = point_ok[best] & (err2[best] < thr2)
+    return R_all[best], t_all[best], msac[best], jnp.any(valid_h)
+
+
+def finalize_pose(
+    R_best,
+    t_best,
+    any_valid,
+    px2d,
+    pts3d,
+    mask,
+    calib: StereoCalib,
+    cfg: RansacConfig,
+) -> PoseEstimate:
+    """Refine the winning hypothesis on its consensus set and package the result."""
+    n_valid = jnp.sum(mask)
+    thr2 = cfg.max_reproj_err_px**2
+    pred0, z0 = _project_w2c(R_best, t_best, pts3d, calib)
+    err2_0 = jnp.sum((pred0 - px2d) ** 2, axis=-1)
+    point_ok = mask & (z0 > 0.0)
+    inliers0 = point_ok & (err2_0 < thr2)
 
     # --- refine on the consensus set (IRLS-GN, fixed iterations) ---
     w = inliers0.astype(px2d.dtype)
@@ -151,8 +172,8 @@ def estimate_world_pose(
     inliers = jnp.where(better, inliers, inliers0)
 
     n_in = jnp.sum(inliers)
-    ok = (n_valid >= cfg.min_points) & jnp.any(valid_h) & (n_in >= 3)
-    err_fin = jnp.sqrt(jnp.where(better, err2_r, err2[best]))
+    ok = (n_valid >= cfg.min_points) & any_valid & (n_in >= 3)
+    err_fin = jnp.sqrt(jnp.where(better, err2_r, err2_0))
     mean_err = jnp.sum(jnp.where(inliers, err_fin, 0.0)) / jnp.maximum(n_in, 1)
     # estworldpose convention: camera pose in the world (= prev-camera) frame.
     T_w2c = se3.from_rt(R_fin, t_fin)
@@ -163,3 +184,16 @@ def estimate_world_pose(
         ok=ok,
         mean_err=mean_err,
     )
+
+
+def estimate_world_pose(
+    px2d: jnp.ndarray,  # [N, 2] current-frame LEFT pixels (VO.m:124)
+    pts3d: jnp.ndarray,  # [N, 3] 3D points in the reference (prev-camera) frame (VO.m:125)
+    mask: jnp.ndarray,  # [N] validity
+    calib: StereoCalib,
+    cfg: RansacConfig,
+    key: jax.Array,
+) -> PoseEstimate:
+    """Single-device RANSAC-P3P (hypothesize/score + refine). Fully jittable."""
+    R_best, t_best, _, any_valid = best_hypothesis(px2d, pts3d, mask, calib, cfg, key)
+    return finalize_pose(R_best, t_best, any_valid, px2d, pts3d, mask, calib, cfg)
