@@ -1,0 +1,238 @@
+"""Sliding-window bundle adjustment via Schur complement — pure JAX.
+
+North-star extension (SURVEY §7.6): the reference has NO bundle adjustment
+(frame-to-frame chaining only, VO.m:130), so drift accumulates unbounded.
+This module jointly refines a window of K keyframe poses and M landmarks by
+damped Gauss-Newton (Levenberg-Marquardt) on the reprojection error.
+
+TPU-first design:
+- Observations live on a DENSE [K, M] grid with a validity mask — no sparse
+  indexing. Every Jacobian/Hessian block is an einsum over the landmark axis,
+  which is exactly the contraction the MXU wants and exactly the axis the
+  distributed version shards (dist/ba_sharded.py reduces the same einsums
+  with psum over landmark shards).
+- The landmark block H_ll is 3x3-block-diagonal -> inverted in closed form.
+- The reduced camera system S (6K x 6K; K ~ 10) is solved densely on-chip.
+- Gauge freedom is fixed with a strong prior on pose 0 (the stereo baseline
+  fixes scale, so one anchored pose suffices).
+- The LM loop is a fixed-length ``lax.scan`` with accept/reject damping —
+  no data-dependent control flow.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BAConfig
+from ..geom import se3
+from ..geom.camera import StereoCalib
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity window state.
+
+    T_c2w:    [K, 4, 4] keyframe camera-to-world poses (initial estimates)
+    X:        [M, 3]    world landmarks
+    obs_uv:   [K, M, 2] observed left-camera pixels
+    obs_mask: [K, M]    observation validity
+    X_mask:   [M]       landmark validity
+    kf_mask:  [K]       keyframe validity (unused slots frozen)
+    """
+
+    T_c2w: jnp.ndarray
+    X: jnp.ndarray
+    obs_uv: jnp.ndarray
+    obs_mask: jnp.ndarray
+    X_mask: jnp.ndarray
+    kf_mask: jnp.ndarray
+
+
+class BAResult(NamedTuple):
+    T_c2w: jnp.ndarray  # [K, 4, 4] refined poses
+    X: jnp.ndarray  # [M, 3] refined landmarks
+    cost0: jnp.ndarray  # initial robust cost
+    cost: jnp.ndarray  # final robust cost
+    n_obs: jnp.ndarray  # active observation count
+
+
+def _project_jacobians(T_w2c, X, calib: StereoCalib):
+    """Residual ingredients for the full [K, M] grid.
+
+    Returns (uv_hat [K,M,2], x_cam [K,M,3], A [K,M,2,6], B [K,M,2,3]) where
+    A = d(uv)/d(pose twist, left-multiplied on T_w2c), B = d(uv)/dX.
+    """
+    R = T_w2c[:, :3, :3]  # [K, 3, 3]
+    t = T_w2c[:, :3, 3]  # [K, 3]
+    xc = jnp.einsum("kij,mj->kmi", R, X) + t[:, None, :]  # [K, M, 3]
+    x, y, z = xc[..., 0], xc[..., 1], xc[..., 2]
+    zs = jnp.where(jnp.abs(z) > 1e-6, z, 1e-6)
+    u = calib.fu * x / zs + calib.cu
+    v = calib.fv * y / zs + calib.cv
+    uv = jnp.stack([u, v], axis=-1)
+    # dπ/dx_cam  [K, M, 2, 3]
+    zero = jnp.zeros_like(x)
+    Jpi = jnp.stack(
+        [
+            jnp.stack([calib.fu / zs, zero, -calib.fu * x / zs**2], axis=-1),
+            jnp.stack([zero, calib.fv / zs, -calib.fv * y / zs**2], axis=-1),
+        ],
+        axis=-2,
+    )
+    # dx_cam/dξ = [I | -[x_cam]×]  (ξ = (υ, ω), T' = exp(ξ) T)
+    O = jnp.zeros_like(x)
+    hat = jnp.stack(
+        [
+            jnp.stack([O, -xc[..., 2], xc[..., 1]], axis=-1),
+            jnp.stack([xc[..., 2], O, -xc[..., 0]], axis=-1),
+            jnp.stack([-xc[..., 1], xc[..., 0], O], axis=-1),
+        ],
+        axis=-2,
+    )  # [K, M, 3, 3]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=X.dtype), hat.shape)
+    Jxi = jnp.concatenate([eye, -hat], axis=-1)  # [K, M, 3, 6]
+    A = jnp.einsum("kmij,kmjl->kmil", Jpi, Jxi)  # [K, M, 2, 6]
+    B = jnp.einsum("kmij,kjl->kmil", Jpi, R)  # [K, M, 2, 3]
+    return uv, xc, A, B
+
+
+def _inv3x3(M):
+    """Batched closed-form 3x3 inverse (adjugate / det)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A_ = e * i - f * h
+    B_ = -(d * i - f * g)
+    C_ = d * h - e * g
+    det = a * A_ + b * B_ + c * C_
+    det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    adj = jnp.stack(
+        [
+            jnp.stack([A_, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([B_, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([C_, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def _robust_cost_and_weight(r2, huber2):
+    """Huber: cost rho(r2), IRLS weight rho'(r)/r."""
+    r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+    h = jnp.sqrt(huber2)
+    cost = jnp.where(r2 <= huber2, 0.5 * r2, h * (r - 0.5 * h))
+    w = jnp.where(r2 <= huber2, 1.0, h / r)
+    return cost, w
+
+
+def _assemble(T_w2c, X, prob: BAProblem, calib, cfg: BAConfig, axis_name=None):
+    """Build Schur-reduced camera system. All landmark contractions are the
+    einsums reduced with psum when ``axis_name`` names a mesh axis sharding M."""
+    uv, xc, A, B = _project_jacobians(T_w2c, X, calib)
+    r = uv - prob.obs_uv  # [K, M, 2]
+    behind = xc[..., 2] <= 0.1
+    mask = prob.obs_mask & prob.X_mask[None, :] & prob.kf_mask[:, None] & ~behind
+    r2 = jnp.sum(r * r, axis=-1)
+    cost_e, w_rob = _robust_cost_and_weight(r2, cfg.huber_px**2)
+    w = jnp.where(mask, w_rob, 0.0)  # [K, M]
+    cost = jnp.sum(jnp.where(mask, cost_e, 0.0))
+    n_obs = jnp.sum(mask)
+
+    Aw = A * w[..., None, None]
+    # Camera diag blocks U[k] and gradient  (sum over landmarks -> psum-able)
+    U = jnp.einsum("kmia,kmib->kab", Aw, A)  # [K, 6, 6]
+    g_p = -jnp.einsum("kmia,kmi->ka", Aw, r)  # [K, 6]
+    # Landmark blocks V[m], gradient  (sum over cameras; local per shard)
+    Bw = B * w[..., None, None]
+    V = jnp.einsum("kmia,kmib->mab", Bw, B)  # [M, 3, 3]
+    g_l = -jnp.einsum("kmia,kmi->ma", Bw, r)  # [M, 3]
+    Wkm = jnp.einsum("kmia,kmib->kmab", Aw, B)  # [K, M, 6, 3]
+
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
+        n_obs = jax.lax.psum(n_obs, axis_name)
+        U = jax.lax.psum(U, axis_name)
+        g_p = jax.lax.psum(g_p, axis_name)
+    return dict(U=U, g_p=g_p, V=V, g_l=g_l, Wkm=Wkm, cost=cost, n_obs=n_obs)
+
+
+def _solve_schur(sys, lam, cfg: BAConfig, kf_mask, axis_name=None):
+    """Schur-complement solve for (dxi [K,6], dX [M,3]) at damping lam."""
+    U, g_p, V, g_l, Wkm = sys["U"], sys["g_p"], sys["V"], sys["g_l"], sys["Wkm"]
+    K = U.shape[0]
+    eye3 = jnp.eye(3, dtype=V.dtype)
+    Vd = V + lam * (V * eye3 + 1e-6 * eye3)
+    V_inv = _inv3x3(Vd)  # [M, 3, 3]
+
+    WV = jnp.einsum("kmab,mbc->kmac", Wkm, V_inv)  # [K, M, 6, 3]
+    # Off-diagonal (and diagonal) Schur correction: sum over landmarks.
+    S_corr = jnp.einsum("kmac,lmbc->kalb", WV, Wkm)  # [K, 6, K, 6]
+    rhs_corr = jnp.einsum("kmac,mc->ka", WV, g_l)  # [K, 6]
+    if axis_name is not None:
+        S_corr = jax.lax.psum(S_corr, axis_name)
+        rhs_corr = jax.lax.psum(rhs_corr, axis_name)
+
+    eye6 = jnp.eye(6, dtype=U.dtype)
+    Ud = U + lam * (U * eye6 + 1e-6 * eye6)
+    S = jnp.zeros((K, 6, K, 6), U.dtype)
+    S = S.at[jnp.arange(K), :, jnp.arange(K), :].set(Ud)
+    S = S - S_corr
+    rhs = g_p - rhs_corr
+    # Gauge: anchor pose 0; freeze invalid keyframe slots.
+    anchor = jnp.zeros((K,), U.dtype).at[0].set(1e8) + jnp.where(kf_mask, 0.0, 1e8)
+    S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(anchor[:, None, None] * eye6)
+    dxi = jnp.linalg.solve(S.reshape(6 * K, 6 * K), rhs.reshape(6 * K)).reshape(K, 6)
+    # Back-substitute landmarks (local per shard).
+    dX = jnp.einsum("mab,mb->ma", V_inv, g_l - jnp.einsum("kmab,ka->mb", Wkm, dxi))
+    return dxi, dX
+
+
+def _apply_update(T_w2c, X, dxi, dX):
+    T_new = jnp.einsum("kij,kjl->kil", jax.vmap(se3.exp)(dxi), T_w2c)
+    return T_new, X + dX
+
+
+def _cost_only(T_w2c, X, prob, calib, cfg, axis_name=None):
+    uv, xc, _, _ = _project_jacobians(T_w2c, X, calib)
+    r2 = jnp.sum((uv - prob.obs_uv) ** 2, axis=-1)
+    mask = prob.obs_mask & prob.X_mask[None, :] & prob.kf_mask[:, None] & (xc[..., 2] > 0.1)
+    cost_e, _ = _robust_cost_and_weight(r2, cfg.huber_px**2)
+    c = jnp.sum(jnp.where(mask, cost_e, 0.0))
+    return jax.lax.psum(c, axis_name) if axis_name is not None else c
+
+
+def solve_window(
+    prob: BAProblem, calib: StereoCalib, cfg: BAConfig, axis_name: str | None = None
+) -> BAResult:
+    """LM-damped GN over the window. Jittable; shard the M axis + pass
+    ``axis_name`` to run the identical code distributed (dist/ba_sharded)."""
+    T_w2c0 = jax.vmap(se3.inv)(prob.T_c2w)
+    cost0 = _cost_only(T_w2c0, prob.X, prob, calib, cfg, axis_name)
+
+    def lm_step(carry, _):
+        T_w2c, X, lam, cost = carry
+        sys = _assemble(T_w2c, X, prob, calib, cfg, axis_name)
+        dxi, dX = _solve_schur(sys, lam, cfg, prob.kf_mask, axis_name)
+        T_try, X_try = _apply_update(T_w2c, X, dxi, dX)
+        cost_try = _cost_only(T_try, X_try, prob, calib, cfg, axis_name)
+        accept = cost_try < cost
+        T_new = jnp.where(accept, T_try, T_w2c)
+        X_new = jnp.where(accept, X_try, X)
+        lam_new = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-9), lam * 4.0)
+        cost_new = jnp.where(accept, cost_try, cost)
+        return (T_new, X_new, lam_new, cost_new), cost_new
+
+    init = (T_w2c0, prob.X, jnp.asarray(cfg.damping, prob.X.dtype), cost0)
+    (T_w2c, X, _, cost), _ = jax.lax.scan(lm_step, init, None, length=cfg.iters)
+    n_obs = jnp.sum(prob.obs_mask & prob.X_mask[None, :] & prob.kf_mask[:, None])
+    if axis_name is not None:
+        n_obs = jax.lax.psum(n_obs, axis_name)
+    return BAResult(
+        T_c2w=jax.vmap(se3.inv)(T_w2c),
+        X=X,
+        cost0=cost0,
+        cost=cost,
+        n_obs=n_obs,
+    )

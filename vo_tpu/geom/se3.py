@@ -93,8 +93,7 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
     """Inverse Rodrigues: [..., 3, 3] -> [..., 3]. Safe near theta=0 and pi."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    # Antisymmetric part -> axis * sin(theta)
+    # Antisymmetric part -> axis * 2 sin(theta)
     v = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -103,7 +102,10 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_theta = jnp.sin(theta)
+    # atan2 formulation: differentiable at theta=0 (arccos' blows up there,
+    # which poisons jacfwd through pose-graph residuals with NaNs).
+    sin_theta = 0.5 * jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-32)
+    theta = jnp.arctan2(sin_theta, cos_theta)
     small = theta < 1e-4
     # Near pi the antisymmetric part vanishes; use diagonal formula.
     near_pi = theta > jnp.pi - 1e-3
