@@ -1,0 +1,106 @@
+"""Checkpoint / resume for long VO runs.
+
+The reference only ever WRITES state, at the end of the run
+(poses.mat/error.mat/landmarks.mat, VO.m:247-253) — nothing is loaded back
+and a crash at frame 4400 of 4541 loses everything (SURVEY §5). Here the
+full resumable state — carried features, current pose, landmark map prefix,
+trajectory so far, PRNG key, frame index — is dumped atomically to one npz
+every ``checkpoint_every`` frames and restored with ``load``.
+"""
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..frontend.track import StereoFeatures
+from .landmarks import LandmarkMap
+from .pipeline import VOState
+
+FORMAT_VERSION = 1
+
+
+class Checkpoint(NamedTuple):
+    state: VOState
+    lmap: LandmarkMap | None
+    poses: np.ndarray  # [T, 4, 4] trajectory so far (frames 2..)
+    rel_poses: np.ndarray
+    key: jnp.ndarray
+    frame_idx: int
+
+
+def save(path: str, state: VOState, lmap, poses, rel_poses, key, frame_idx: int) -> str:
+    """Atomic npz dump (write temp + rename, so a crash never corrupts the last good checkpoint)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    count = int(lmap.count) if lmap is not None else 0
+    payload = dict(
+        version=FORMAT_VERSION,
+        frame_idx=frame_idx,
+        prev_l_xy=np.asarray(state.prev.l_xy),
+        prev_r_xy=np.asarray(state.prev.r_xy),
+        prev_l_desc=np.asarray(state.prev.l_desc),
+        prev_r_desc=np.asarray(state.prev.r_desc),
+        prev_mask=np.asarray(state.prev.mask),
+        pose_c2w=np.asarray(state.pose_c2w),
+        prev_rel=np.asarray(state.prev_rel),
+        state_frame_idx=np.asarray(state.frame_idx),
+        poses=np.asarray(poses),
+        rel_poses=np.asarray(rel_poses),
+        key=np.asarray(key),
+        lm_count=count,
+        lm_dropped=int(lmap.dropped) if lmap is not None else 0,
+        # Only the valid prefix is persisted — the store capacity may be huge.
+        lm_xyz=np.asarray(lmap.xyz[:count]) if lmap is not None else np.zeros((0, 3), np.float32),
+        lm_capacity=int(lmap.xyz.shape[0]) if lmap is not None else 0,
+    )
+    d = os.path.dirname(os.path.abspath(path))
+    # Suffix must end in .npz or np.savez appends it and the rename grabs the
+    # empty mkstemp placeholder instead of the written archive.
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npz")
+    os.close(fd)
+    try:
+        np.savez_compressed(tmp, **payload)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
+def load(path: str) -> Checkpoint:
+    z = np.load(path)
+    if int(z["version"]) != FORMAT_VERSION:
+        raise ValueError(f"checkpoint version {int(z['version'])} != {FORMAT_VERSION}")
+    prev = StereoFeatures(
+        l_xy=jnp.asarray(z["prev_l_xy"]),
+        r_xy=jnp.asarray(z["prev_r_xy"]),
+        l_desc=jnp.asarray(z["prev_l_desc"]),
+        r_desc=jnp.asarray(z["prev_r_desc"]),
+        mask=jnp.asarray(z["prev_mask"]),
+    )
+    state = VOState(
+        prev=prev,
+        pose_c2w=jnp.asarray(z["pose_c2w"]),
+        prev_rel=jnp.asarray(z["prev_rel"]),
+        frame_idx=jnp.asarray(z["state_frame_idx"]),
+    )
+    cap = int(z["lm_capacity"])
+    lmap = None
+    if cap > 0:
+        xyz = jnp.zeros((cap, 3), jnp.float32)
+        count = int(z["lm_count"])
+        if count:
+            xyz = xyz.at[:count].set(jnp.asarray(z["lm_xyz"]))
+        lmap = LandmarkMap(xyz=xyz, count=jnp.int32(count), dropped=jnp.int32(int(z["lm_dropped"])))
+    return Checkpoint(
+        state=state,
+        lmap=lmap,
+        poses=z["poses"],
+        rel_poses=z["rel_poses"],
+        key=jnp.asarray(z["key"]),
+        frame_idx=int(z["frame_idx"]),
+    )

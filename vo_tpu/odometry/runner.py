@@ -42,11 +42,15 @@ def run_sequence(
     insert_landmarks: Optional[bool] = None,
     progress: Optional[Callable[[int, dict], None]] = None,
     warmup: bool = True,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> RunResult:
     """Run VO over ``seq`` (StereoSequence or SyntheticSequence surface).
 
     ``insert_landmarks`` defaults to cfg.view_3d (the reference's single flag,
-    VO.m:6/145).
+    VO.m:6/145). With ``checkpoint_every > 0`` the resumable state is dumped
+    to ``checkpoint_path`` periodically; ``resume=True`` restarts from it.
     """
     calib: StereoCalib = seq.calib
     if insert_landmarks is None:
@@ -61,6 +65,19 @@ def run_sequence(
     key = jax.random.PRNGKey(seed)
 
     poses, rels, n_in, n_tr, oks = [], [], [], [], []
+    start_frame = 0
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        from . import checkpoint as ckpt_mod
+
+        ck = ckpt_mod.load(checkpoint_path)
+        state, key, start_frame = ck.state, ck.key, ck.frame_idx
+        if ck.lmap is not None:
+            lmap = ck.lmap
+        poses = [p for p in ck.poses]
+        rels = [p for p in ck.rel_poses]
+        n_in = [0] * len(poses)
+        n_tr = [0] * len(poses)
+        oks = [True] * len(poses)
     # Warm-up compile on frame 0 data so timing excludes compilation.
     t_compile0 = time.perf_counter()
     if warmup:
@@ -75,7 +92,7 @@ def run_sequence(
     compile_s = time.perf_counter() - t_compile0
 
     t0 = time.perf_counter()
-    for i in range(n):
+    for i in range(start_frame, n):
         left, right = seq.frame(i)
         key, sub = jax.random.split(key)
         state, out = step(
@@ -98,6 +115,18 @@ def run_sequence(
                     pose_ok=bool(out.pose_ok),
                 ),
             )
+        if checkpoint_every and checkpoint_path and (i + 1) % checkpoint_every == 0:
+            from . import checkpoint as ckpt_mod
+
+            ckpt_mod.save(
+                checkpoint_path,
+                state,
+                lmap if insert_landmarks else None,
+                np.asarray(poses) if poses else np.zeros((0, 4, 4), np.float32),
+                np.asarray(rels) if rels else np.zeros((0, 4, 4), np.float32),
+                key,
+                i + 1,
+            )
     jax.block_until_ready(state.pose_c2w)
     wall = time.perf_counter() - t0
 
@@ -110,8 +139,8 @@ def run_sequence(
         n_tracks=np.asarray(n_tr, np.int32),
         pose_ok=np.asarray(oks, bool),
         landmarks=lms,
-        frames_per_sec=n / wall if wall > 0 else float("nan"),
-        per_frame_ms=1000.0 * wall / max(n, 1),
+        frames_per_sec=(n - start_frame) / wall if wall > 0 else float("nan"),
+        per_frame_ms=1000.0 * wall / max(n - start_frame, 1),
     )
 
 
