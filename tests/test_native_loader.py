@@ -1,0 +1,92 @@
+"""Native C++ PNG decoder + prefetch pool vs PIL oracle."""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from vo_tpu.io import native_loader
+
+NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    if not native_loader.available():
+        subprocess.run(["make", "-C", NATIVE_DIR], check=True, capture_output=True)
+        native_loader._TRIED = False  # re-probe after build
+    assert native_loader.available()
+
+
+def _write_png(path, arr, mode="L"):
+    from PIL import Image
+
+    Image.fromarray(arr, mode=mode).save(path)
+
+
+def test_gray8_matches_pil(tmp_path):
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+    p = str(tmp_path / "g.png")
+    _write_png(p, arr)
+    got = native_loader.read_png_gray(p)
+    np.testing.assert_allclose(got, arr.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_gray8_large_filters(tmp_path):
+    # Gradient images exercise Sub/Up/Average/Paeth filter paths.
+    y, x = np.mgrid[0:376, 0:1241]
+    arr = ((x + y) % 256).astype(np.uint8)
+    p = str(tmp_path / "grad.png")
+    _write_png(p, arr)
+    got = native_loader.read_png_gray(p)
+    np.testing.assert_allclose(got, arr.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_rgb_reduced_to_luma(tmp_path):
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    p = str(tmp_path / "c.png")
+    _write_png(p, arr, mode="RGB")
+    got = native_loader.read_png_gray(p)
+    luma = (0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]) / 255.0
+    np.testing.assert_allclose(got, luma, atol=2e-3)
+
+
+def test_info_and_missing(tmp_path):
+    arr = np.zeros((5, 7), np.uint8)
+    p = str(tmp_path / "z.png")
+    _write_png(p, arr)
+    assert native_loader.png_info(p) == (5, 7)
+    with pytest.raises(IOError):
+        native_loader.read_png_gray(str(tmp_path / "missing.png"))
+
+
+def test_prefetch_feed(tmp_path):
+    rng = np.random.default_rng(2)
+    paths = []
+    arrs = []
+    for i in range(12):
+        a = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+        p = str(tmp_path / f"f{i}.png")
+        _write_png(p, a)
+        paths.append(p)
+        arrs.append(a)
+    feed = native_loader.PrefetchFeed(paths, ahead=4, threads=3)
+    try:
+        # Out-of-order and repeated access must both work.
+        for idx in [0, 3, 1, 2, 11, 5]:
+            got = feed[idx]
+            np.testing.assert_allclose(got, arrs[idx].astype(np.float32) / 255.0, atol=1e-6)
+    finally:
+        feed.close()
+
+
+def test_kitti_read_image_uses_native(tmp_path):
+    from vo_tpu.io import kitti
+
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    p = str(tmp_path / "im.png")
+    _write_png(p, arr)
+    got = kitti.read_image(p)
+    np.testing.assert_allclose(got, arr.astype(np.float32) / 255.0, atol=1e-6)
