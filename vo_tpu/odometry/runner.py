@@ -45,6 +45,7 @@ def run_sequence(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    metrics_path: Optional[str] = None,
 ) -> RunResult:
     """Run VO over ``seq`` (StereoSequence or SyntheticSequence surface).
 
@@ -91,8 +92,12 @@ def run_sequence(
             jax.block_until_ready(m_w.xyz)
     compile_s = time.perf_counter() - t_compile0
 
+    from ..utils.profiling import MetricsLog
+
+    mlog = MetricsLog(metrics_path) if metrics_path else None
     t0 = time.perf_counter()
     for i in range(start_frame, n):
+        t_frame = time.perf_counter()
         left, right = seq.frame(i)
         key, sub = jax.random.split(key)
         state, out = step(
@@ -115,6 +120,17 @@ def run_sequence(
                     pose_ok=bool(out.pose_ok),
                 ),
             )
+        if mlog is not None:
+            nt = int(out.n_tracks)
+            mlog.log(
+                i,
+                n_tracks=nt,
+                n_inliers=int(out.n_inliers),
+                inlier_ratio=round(int(out.n_inliers) / max(nt, 1), 4),
+                pose_ok=bool(out.pose_ok),
+                mean_reproj_err=float(out.mean_reproj_err),
+                frame_ms=round(1000.0 * (time.perf_counter() - t_frame), 2),
+            )
         if checkpoint_every and checkpoint_path and (i + 1) % checkpoint_every == 0:
             from . import checkpoint as ckpt_mod
 
@@ -129,6 +145,8 @@ def run_sequence(
             )
     jax.block_until_ready(state.pose_c2w)
     wall = time.perf_counter() - t0
+    if mlog is not None:
+        mlog.close()
 
     count = int(lmap.count)
     lms = np.asarray(lmap.xyz[:count]) if insert_landmarks else np.zeros((0, 3), np.float32)
