@@ -21,14 +21,19 @@ def make_ba_problem(rng, calib, gt_poses, K=5, M=256, noise_px=0.3, pose_noise=0
     """Window of K GT keyframes observing M landmarks, with noisy initial guesses."""
     lms = synthetic.scatter_landmarks(rng, gt_poses[:K], M)
     obs = np.zeros((K, M, 2), np.float32)
+    obs_ur = np.zeros((K, M), np.float32)
     msk = np.zeros((K, M), bool)
     H, W = calib.image_size
     P1 = np.asarray(calib.P1, np.float64)
+    P2 = np.asarray(calib.P2, np.float64)
     for k in range(K):
         cam = synthetic._w2c_apply(gt_poses[k], lms)
-        px = synthetic.project_np(P1, np.where(cam[:, 2:3] > 1.0, cam, [0, 0, 10.0]))
+        safe = np.where(cam[:, 2:3] > 1.0, cam, [0, 0, 10.0])
+        px = synthetic.project_np(P1, safe)
+        pxr = synthetic.project_np(P2, safe)
         ok = (cam[:, 2] > 1.0) & (px[:, 0] >= 0) & (px[:, 0] < W) & (px[:, 1] >= 0) & (px[:, 1] < H)
         obs[k] = px + rng.normal(scale=noise_px, size=px.shape)
+        obs_ur[k] = pxr[:, 0] + rng.normal(scale=noise_px, size=M)
         msk[k] = ok
     # Noisy initialization: GT pose 0 fixed; others perturbed; landmarks perturbed.
     T0 = np.stack([gt_poses[0]] + [_perturb_pose(rng, gt_poses[k], trans=pose_noise) for k in range(1, K)])
@@ -39,6 +44,8 @@ def make_ba_problem(rng, calib, gt_poses, K=5, M=256, noise_px=0.3, pose_noise=0
             X=jnp.asarray(X0, jnp.float32),
             obs_uv=jnp.asarray(obs),
             obs_mask=jnp.asarray(msk),
+            obs_ur=jnp.asarray(obs_ur),
+            obs_ur_mask=jnp.asarray(msk),
             X_mask=jnp.ones(M, bool),
             kf_mask=jnp.ones(K, bool),
         ),

@@ -33,6 +33,7 @@ def _add_run(sub):
     p.add_argument("--max-keypoints", type=int, default=None)
     p.add_argument("--hypotheses", type=int, default=None)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--ba", action="store_true", help="enable sliding-window bundle adjustment")
     return p
 
 
@@ -93,6 +94,7 @@ def cmd_run(args) -> int:
         checkpoint_path=os.path.join(args.out, "checkpoint.npz"),
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
+        use_ba=args.ba,
     )
     runner.save_result(res, args.out)
     print(f"{res.poses.shape[0] + 1} frames  {res.frames_per_sec:.2f} fps  {res.per_frame_ms:.1f} ms/frame")

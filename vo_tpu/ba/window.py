@@ -37,6 +37,11 @@ class BAProblem(NamedTuple):
     X:        [M, 3]    world landmarks
     obs_uv:   [K, M, 2] observed left-camera pixels
     obs_mask: [K, M]    observation validity
+    obs_ur:   [K, M]    observed RIGHT-camera u (rectified: v_r == v_l).
+                        The stereo residual pins metric scale — left-only
+                        windows are monocular SfM whose scale floats on the
+                        landmark initialization.
+    obs_ur_mask: [K, M] right-observation validity
     X_mask:   [M]       landmark validity
     kf_mask:  [K]       keyframe validity (unused slots frozen)
     """
@@ -45,6 +50,8 @@ class BAProblem(NamedTuple):
     X: jnp.ndarray
     obs_uv: jnp.ndarray
     obs_mask: jnp.ndarray
+    obs_ur: jnp.ndarray
+    obs_ur_mask: jnp.ndarray
     X_mask: jnp.ndarray
     kf_mask: jnp.ndarray
 
@@ -58,25 +65,30 @@ class BAResult(NamedTuple):
 
 
 def _project_jacobians(T_w2c, X, calib: StereoCalib):
-    """Residual ingredients for the full [K, M] grid.
+    """Residual ingredients for the full [K, M] grid, stereo observation model.
 
-    Returns (uv_hat [K,M,2], x_cam [K,M,3], A [K,M,2,6], B [K,M,2,3]) where
-    A = d(uv)/d(pose twist, left-multiplied on T_w2c), B = d(uv)/dX.
+    Residual components per observation: (u_left, v_left, u_right) — the
+    rectified right camera shares v and adds the disparity constraint that
+    makes window scale observable. Returns (uvr_hat [K,M,3], x_cam [K,M,3],
+    A [K,M,3,6], B [K,M,3,3]) with A = d(res)/d(pose twist), B = d(res)/dX.
     """
     R = T_w2c[:, :3, :3]  # [K, 3, 3]
     t = T_w2c[:, :3, 3]  # [K, 3]
     xc = jnp.einsum("kij,mj->kmi", R, X) + t[:, None, :]  # [K, M, 3]
     x, y, z = xc[..., 0], xc[..., 1], xc[..., 2]
     zs = jnp.where(jnp.abs(z) > 1e-6, z, 1e-6)
+    xr = x - calib.baseline  # right-camera x (pure-x rectified baseline)
     u = calib.fu * x / zs + calib.cu
     v = calib.fv * y / zs + calib.cv
-    uv = jnp.stack([u, v], axis=-1)
-    # dπ/dx_cam  [K, M, 2, 3]
+    ur = calib.fu * xr / zs + calib.cu
+    uv = jnp.stack([u, v, ur], axis=-1)
+    # dπ/dx_cam  [K, M, 3, 3]
     zero = jnp.zeros_like(x)
     Jpi = jnp.stack(
         [
             jnp.stack([calib.fu / zs, zero, -calib.fu * x / zs**2], axis=-1),
             jnp.stack([zero, calib.fv / zs, -calib.fv * y / zs**2], axis=-1),
+            jnp.stack([calib.fu / zs, zero, -calib.fu * xr / zs**2], axis=-1),
         ],
         axis=-2,
     )
@@ -127,25 +139,34 @@ def _robust_cost_and_weight(r2, huber2):
     return cost, w
 
 
+def _residuals(T_w2c, X, prob: BAProblem, calib, cfg: BAConfig):
+    """Shared residual/weight block: (r [K,M,3], comp_w [K,M,3], cost, n_obs, A, B)."""
+    uv, xc, A, B = _project_jacobians(T_w2c, X, calib)
+    obs = jnp.concatenate([prob.obs_uv, prob.obs_ur[..., None]], axis=-1)
+    r = uv - obs  # [K, M, 3]
+    behind = xc[..., 2] <= 0.1
+    mask = prob.obs_mask & prob.X_mask[None, :] & prob.kf_mask[:, None] & ~behind
+    mask_r = mask & prob.obs_ur_mask
+    comp_m = jnp.stack([mask, mask, mask_r], axis=-1).astype(r.dtype)  # [K, M, 3]
+    r2 = jnp.sum(r * r * comp_m, axis=-1)
+    cost_e, w_rob = _robust_cost_and_weight(r2, cfg.huber_px**2)
+    comp_w = comp_m * jnp.where(mask, w_rob, 0.0)[..., None]  # [K, M, 3]
+    cost = jnp.sum(jnp.where(mask, cost_e, 0.0))
+    n_obs = jnp.sum(mask)
+    return r, comp_w, cost, n_obs, A, B
+
+
 def _assemble(T_w2c, X, prob: BAProblem, calib, cfg: BAConfig, axis_name=None):
     """Build Schur-reduced camera system. All landmark contractions are the
     einsums reduced with psum when ``axis_name`` names a mesh axis sharding M."""
-    uv, xc, A, B = _project_jacobians(T_w2c, X, calib)
-    r = uv - prob.obs_uv  # [K, M, 2]
-    behind = xc[..., 2] <= 0.1
-    mask = prob.obs_mask & prob.X_mask[None, :] & prob.kf_mask[:, None] & ~behind
-    r2 = jnp.sum(r * r, axis=-1)
-    cost_e, w_rob = _robust_cost_and_weight(r2, cfg.huber_px**2)
-    w = jnp.where(mask, w_rob, 0.0)  # [K, M]
-    cost = jnp.sum(jnp.where(mask, cost_e, 0.0))
-    n_obs = jnp.sum(mask)
+    r, comp_w, cost, n_obs, A, B = _residuals(T_w2c, X, prob, calib, cfg)
 
-    Aw = A * w[..., None, None]
+    Aw = A * comp_w[..., None]
     # Camera diag blocks U[k] and gradient  (sum over landmarks -> psum-able)
     U = jnp.einsum("kmia,kmib->kab", Aw, A)  # [K, 6, 6]
     g_p = -jnp.einsum("kmia,kmi->ka", Aw, r)  # [K, 6]
     # Landmark blocks V[m], gradient  (sum over cameras; local per shard)
-    Bw = B * w[..., None, None]
+    Bw = B * comp_w[..., None]
     V = jnp.einsum("kmia,kmib->mab", Bw, B)  # [M, 3, 3]
     g_l = -jnp.einsum("kmia,kmi->ma", Bw, r)  # [M, 3]
     Wkm = jnp.einsum("kmia,kmib->kmab", Aw, B)  # [K, M, 6, 3]
@@ -195,11 +216,7 @@ def _apply_update(T_w2c, X, dxi, dX):
 
 
 def _cost_only(T_w2c, X, prob, calib, cfg, axis_name=None):
-    uv, xc, _, _ = _project_jacobians(T_w2c, X, calib)
-    r2 = jnp.sum((uv - prob.obs_uv) ** 2, axis=-1)
-    mask = prob.obs_mask & prob.X_mask[None, :] & prob.kf_mask[:, None] & (xc[..., 2] > 0.1)
-    cost_e, _ = _robust_cost_and_weight(r2, cfg.huber_px**2)
-    c = jnp.sum(jnp.where(mask, cost_e, 0.0))
+    _, _, c, _, _, _ = _residuals(T_w2c, X, prob, calib, cfg)
     return jax.lax.psum(c, axis_name) if axis_name is not None else c
 
 

@@ -31,6 +31,10 @@ class SIFTConfig:
     descriptor_patch: int = 16  # 16x16 gradient patch -> 4x4x8 histogram
     ori_bins: int = 36
     upsample: bool = False  # MATLAB does not upsample by default
+    # TPU fast path: dense 8-bin orientation maps + row-gather descriptors
+    # (frontend.dense_desc) instead of per-keypoint scalar-gather sampling.
+    # ~5x faster on TPU; set False for the Lowe-exact oracle path.
+    fast_descriptor: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -84,6 +88,11 @@ class BAConfig:
     damping: float = 1e-3
     huber_px: float = 2.0
     keyframe_every: int = 5
+    # Assembly-time reprojection gate: tracked observations are NOT RANSAC-
+    # verified, and one mis-associated track (100s of px of residual) can
+    # out-lever every inlier in the window. Drift within a short window is
+    # far below this gate; mis-associations are far above it.
+    obs_gate_px: float = 12.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -37,6 +37,8 @@ def solve_window_sharded(
         X=P(axis),  # sharded landmarks
         obs_uv=P(None, axis),  # [K, M, 2] sharded on M
         obs_mask=P(None, axis),
+        obs_ur=P(None, axis),
+        obs_ur_mask=P(None, axis),
         X_mask=P(axis),
         kf_mask=P(),
     )

@@ -166,10 +166,19 @@ def _refine_one(dog_flat, lvl, y, x, H: int, W: int, cfg: SIFTConfig):
     dxy = 0.25 * (C[1, 2, 2] - C[1, 2, 0] - C[1, 0, 2] + C[1, 0, 0])
     dxs = 0.25 * (C[2, 1, 2] - C[2, 1, 0] - C[0, 1, 2] + C[0, 1, 0])
     dys = 0.25 * (C[2, 2, 1] - C[2, 0, 1] - C[0, 2, 1] + C[0, 0, 1])
-    Hm = jnp.array([[dxx, dxy, dxs], [dxy, dyy, dys], [dxs, dys, dss]])
-    det = jnp.linalg.det(Hm)
-    Hm_safe = Hm + jnp.where(jnp.abs(det) < 1e-12, 1e-6, 0.0) * jnp.eye(3)
-    offset = -jnp.linalg.solve(Hm_safe, g)
+    # Closed-form symmetric 3x3 solve (adjugate/Cramer): batched
+    # jnp.linalg.solve/det lower to LU loops that dominate TPU time when
+    # vmapped over thousands of candidates (measured ~67 ms/frame).
+    A0 = dyy * dss - dys * dys
+    A1 = dxs * dys - dxy * dss
+    A2 = dxy * dys - dxs * dyy
+    det = dxx * A0 + dxy * A1 + dxs * A2
+    B0 = dxx * dss - dxs * dxs
+    B1 = dxs * dxy - dxx * dys
+    C0 = dxx * dyy - dxy * dxy
+    det_safe = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.array([[A0, A1, A2], [A1, B0, B1], [A2, B1, C0]])
+    offset = -(adj @ g) / det_safe
     contrast = c + 0.5 * jnp.dot(g, offset)
     ok = jnp.all(jnp.abs(offset) < 0.6)
     ok &= jnp.abs(contrast) >= cfg.contrast_threshold
@@ -282,16 +291,29 @@ def detect_and_describe(img: jnp.ndarray, cfg: SIFTConfig) -> Features:
         # sigma relative to the octave base (for window sizing) and absolute.
         sigma_rel = cfg.sigma0 * (2.0 ** (lf / cfg.scales_per_octave))
         sigma_abs = sigma_rel * (2.0**o)
-        gx, gy = gradients(G)
-        gx_flat = gx.reshape(-1)
-        gy_flat = gy.reshape(-1)
         GH, GW = G.shape[1], G.shape[2]
-        ori = jax.vmap(
-            lambda l, y, x, s: _orientation_one(gx_flat, gy_flat, l, y, x, s, GH, GW, cfg)
-        )(lvl, yf, xf, sigma_rel)
-        desc = jax.vmap(
-            lambda l, y, x, s, t: _descriptor_one(gx_flat, gy_flat, l, y, x, s, t, GH, GW)
-        )(lvl, yf, xf, sigma_rel, ori)
+        if cfg.fast_descriptor:
+            from . import dense_desc
+
+            H2, W2 = GH // 2, GW // 2
+            maps = [
+                dense_desc.build_bin_maps(G[l], float(sig[l]))
+                for l in range(1, cfg.scales_per_octave + 1)
+            ]
+            maps_flat = jnp.concatenate([m.reshape(-1, 8) for m in maps], axis=0)
+            lvl0 = jnp.clip(lvl - 1, 0, cfg.scales_per_octave - 1)
+            ori = dense_desc.orientations(maps_flat, lvl0, yf, xf, sigma_rel, H2, W2)
+            desc = dense_desc.descriptors(maps_flat, lvl0, yf, xf, sigma_rel, ori, H2, W2)
+        else:
+            gx, gy = gradients(G)
+            gx_flat = gx.reshape(-1)
+            gy_flat = gy.reshape(-1)
+            ori = jax.vmap(
+                lambda l, y, x, s: _orientation_one(gx_flat, gy_flat, l, y, x, s, GH, GW, cfg)
+            )(lvl, yf, xf, sigma_rel)
+            desc = jax.vmap(
+                lambda l, y, x, s, t: _descriptor_one(gx_flat, gy_flat, l, y, x, s, t, GH, GW)
+            )(lvl, yf, xf, sigma_rel, ori)
         scale_factor = float(2**o)
         per_octave.append(
             Features(

@@ -25,13 +25,19 @@ from .sift import Features
 
 
 class StereoFeatures(NamedTuple):
-    """Row-aligned stereo-matched features carried across frames (VO.m:225-230)."""
+    """Row-aligned stereo-matched features carried across frames (VO.m:225-230).
+
+    ``ids`` are persistent track identifiers threaded frame-to-frame by
+    odometry.pipeline (a feature tracked across frames keeps its id) — the
+    hook multi-frame observation windows (BA) hang off. -1 = unassigned.
+    """
 
     l_xy: jnp.ndarray  # [C, 2]
     r_xy: jnp.ndarray  # [C, 2]
     l_desc: jnp.ndarray  # [C, 128]
     r_desc: jnp.ndarray  # [C, 128]
     mask: jnp.ndarray  # [C]
+    ids: jnp.ndarray  # [C] int32 persistent track id (-1 unassigned)
 
 
 class TrackResult(NamedTuple):
@@ -60,6 +66,7 @@ def stereo_features_with_matches(
         l_desc=gather_rows(feats_l.desc, m.a_idx, m.mask),
         r_desc=gather_rows(feats_r.desc, m.b_idx, m.mask),
         mask=m.mask,
+        ids=jnp.full((capacity,), -1, jnp.int32),
     )
     return sf, m
 

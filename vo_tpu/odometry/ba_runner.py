@@ -1,0 +1,161 @@
+"""Sliding-window BA in the VO loop: keyframe windows over persistent tracks.
+
+North-star extension (SURVEY §7.6): the reference chains frame-to-frame
+poses with no joint refinement (VO.m:130), so noise integrates into drift.
+Here every ``keyframe_every``-th frame becomes a keyframe carrying its
+stereo observations tagged with persistent track ids (odometry.pipeline);
+once the window holds >= 3 keyframes, the multi-frame tracks are assembled
+into a fixed-capacity BAProblem (ba.window) and jointly optimized, and the
+trajectory is corrected by the refined last-keyframe pose.
+
+Host/device split: window bookkeeping (id intersection, observation grid
+fill) is cheap numpy between jitted calls; the solver itself is one jitted
+Schur-complement program with static (K, M) shapes — compiled once, reused
+every keyframe.
+"""
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ba.window import BAProblem, solve_window
+from ..config import BAConfig, PipelineConfig
+from ..geom.camera import StereoCalib
+from ..geom.triangulate import triangulate_rectified
+
+
+@dataclasses.dataclass
+class Keyframe:
+    frame_idx: int
+    pose_c2w: np.ndarray  # [4, 4]
+    ids: np.ndarray  # [C] int32 (-1 invalid)
+    l_px: np.ndarray  # [C, 2]
+    r_px: np.ndarray  # [C, 2]
+    mask: np.ndarray  # [C]
+
+
+class WindowedBA:
+    """Keyframe window + jitted solver; returns pose corrections."""
+
+    def __init__(self, calib: StereoCalib, cfg: BAConfig):
+        self.calib = calib
+        self.cfg = cfg
+        self.window: deque = deque(maxlen=cfg.window)
+        self._solve = jax.jit(lambda p: solve_window(p, calib, cfg))
+        self.last_result = None
+
+    def add_keyframe(self, kf: Keyframe) -> None:
+        self.window.append(kf)
+
+    def _assemble(self) -> Optional[BAProblem]:
+        K = self.cfg.window
+        M = self.cfg.max_points
+        kfs = list(self.window)
+        if len(kfs) < 3:
+            return None
+        # Tracks seen in >= 2 keyframes, most-observed first.
+        counts: dict = {}
+        for kf in kfs:
+            for tid in kf.ids[kf.mask]:
+                if tid >= 0:
+                    counts[int(tid)] = counts.get(int(tid), 0) + 1
+        multi = [t for t, c in counts.items() if c >= 2]
+        if len(multi) < 12:
+            return None
+        multi.sort(key=lambda t: -counts[t])
+        track_ids = multi[:M]
+        col = {t: j for j, t in enumerate(track_ids)}
+
+        obs_uv = np.zeros((K, M, 2), np.float32)
+        obs_mask = np.zeros((K, M), bool)
+        obs_ur = np.zeros((K, M), np.float32)
+        X0 = np.zeros((M, 3), np.float32)
+        X_seen = np.zeros(M, bool)
+        T0 = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+        kf_mask = np.zeros(K, bool)
+        # Landmark init: triangulate at the FIRST observing keyframe.
+        for k, kf in enumerate(kfs):
+            T0[k] = kf.pose_c2w
+            kf_mask[k] = True
+            sel = kf.mask & (kf.ids >= 0)
+            rows = np.flatnonzero(sel)
+            cols = np.array([col.get(int(t), -1) for t in kf.ids[rows]])
+            ok = cols >= 0
+            rows, cols = rows[ok], cols[ok]
+            obs_uv[k, cols] = kf.l_px[rows]
+            obs_ur[k, cols] = kf.r_px[rows, 0]
+            obs_mask[k, cols] = True
+            new = ~X_seen[cols]
+            if new.any():
+                nr, nc = rows[new], cols[new]
+                Xc = np.asarray(
+                    triangulate_rectified(
+                        jnp.asarray(kf.l_px[nr], jnp.float32),
+                        jnp.asarray(kf.r_px[nr], jnp.float32),
+                        self.calib,
+                    )
+                )
+                good = (Xc[:, 2] > 0.5) & (Xc[:, 2] < 200.0) & np.isfinite(Xc).all(axis=1)
+                Xw = Xc @ kf.pose_c2w[:3, :3].T + kf.pose_c2w[:3, 3]
+                X0[nc[good]] = Xw[good]
+                X_seen[nc[good]] = True
+        # Reprojection pre-gate: drop gross-outlier observations
+        # (mis-associated tracks) before they can lever the solve.
+        P = np.asarray(self.calib.P1, np.float64)
+        for k, kf in enumerate(kfs):
+            Rw = kf.pose_c2w[:3, :3]
+            t = kf.pose_c2w[:3, 3]
+            Xc = (X0 - t) @ Rw  # world -> camera (R is orthonormal)
+            z = Xc[:, 2]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u = P[0, 0] * Xc[:, 0] / z + P[0, 2]
+                v = P[1, 1] * Xc[:, 1] / z + P[1, 2]
+            err = np.hypot(u - obs_uv[k, :, 0], v - obs_uv[k, :, 1])
+            ur = P[0, 0] * (Xc[:, 0] - float(self.calib.baseline)) / z + P[0, 2]
+            err_r = np.abs(ur - obs_ur[k])
+            bad = obs_mask[k] & (
+                (z <= 0.1)
+                | ~np.isfinite(err)
+                | (err > self.cfg.obs_gate_px)
+                | ~np.isfinite(err_r)
+                | (err_r > self.cfg.obs_gate_px)
+            )
+            obs_mask[k, bad] = False
+        X_mask = X_seen & (obs_mask.sum(axis=0) >= 2)
+        if X_mask.sum() < 12:
+            return None
+        return BAProblem(
+            T_c2w=jnp.asarray(T0),
+            X=jnp.asarray(X0),
+            obs_uv=jnp.asarray(obs_uv),
+            obs_mask=jnp.asarray(obs_mask),
+            obs_ur=jnp.asarray(obs_ur),
+            obs_ur_mask=jnp.asarray(obs_mask),
+            X_mask=jnp.asarray(X_mask),
+            kf_mask=jnp.asarray(kf_mask),
+        )
+
+    def optimize(self):
+        """Solve the current window. Returns (corrected_kf_poses, correction)
+        where correction maps old last-kf pose -> refined last-kf pose, or
+        None if the window isn't ready."""
+        prob = self._assemble()
+        if prob is None:
+            return None
+        res = self._solve(prob)
+        if not np.isfinite(float(res.cost)) or float(res.cost) > float(res.cost0):
+            return None
+        self.last_result = res
+        n = len(self.window)
+        T_new = np.asarray(res.T_c2w)[:n]
+        T_old_last = self.window[-1].pose_c2w
+        correction = T_new[-1] @ np.linalg.inv(T_old_last)
+        # Window keyframes adopt their refined poses.
+        for k, kf in enumerate(self.window):
+            kf.pose_c2w = T_new[k]
+        return T_new, correction

@@ -45,6 +45,8 @@ def save(path: str, state: VOState, lmap, poses, rel_poses, key, frame_idx: int)
         prev_l_desc=np.asarray(state.prev.l_desc),
         prev_r_desc=np.asarray(state.prev.r_desc),
         prev_mask=np.asarray(state.prev.mask),
+        prev_ids=np.asarray(state.prev.ids),
+        next_id=np.asarray(state.next_id),
         pose_c2w=np.asarray(state.pose_c2w),
         prev_rel=np.asarray(state.prev_rel),
         state_frame_idx=np.asarray(state.frame_idx),
@@ -81,12 +83,14 @@ def load(path: str) -> Checkpoint:
         l_desc=jnp.asarray(z["prev_l_desc"]),
         r_desc=jnp.asarray(z["prev_r_desc"]),
         mask=jnp.asarray(z["prev_mask"]),
+        ids=jnp.asarray(z["prev_ids"]),
     )
     state = VOState(
         prev=prev,
         pose_c2w=jnp.asarray(z["pose_c2w"]),
         prev_rel=jnp.asarray(z["prev_rel"]),
         frame_idx=jnp.asarray(z["state_frame_idx"]),
+        next_id=jnp.asarray(z["next_id"]),
     )
     cap = int(z["lm_capacity"])
     lmap = None

@@ -45,6 +45,7 @@ class VOState(NamedTuple):
     pose_c2w: jnp.ndarray  # [4, 4] world pose (identity at start, VO.m:58)
     prev_rel: jnp.ndarray  # [4, 4] last relative pose (constant-velocity fallback)
     frame_idx: jnp.ndarray  # scalar int32
+    next_id: jnp.ndarray  # scalar int32 — persistent track-id counter
 
 
 class FrameOutput(NamedTuple):
@@ -68,9 +69,18 @@ def init_state(cfg: PipelineConfig) -> VOState:
     c = cfg.max_tracks
     z2 = jnp.zeros((c, 2), jnp.float32)
     zd = jnp.zeros((c, 128), jnp.float32)
-    prev = StereoFeatures(l_xy=z2, r_xy=z2, l_desc=zd, r_desc=zd, mask=jnp.zeros(c, bool))
+    prev = StereoFeatures(
+        l_xy=z2,
+        r_xy=z2,
+        l_desc=zd,
+        r_desc=zd,
+        mask=jnp.zeros(c, bool),
+        ids=jnp.full((c,), -1, jnp.int32),
+    )
     eye = jnp.eye(4, dtype=jnp.float32)
-    return VOState(prev=prev, pose_c2w=eye, prev_rel=eye, frame_idx=jnp.int32(0))
+    return VOState(
+        prev=prev, pose_c2w=eye, prev_rel=eye, frame_idx=jnp.int32(0), next_id=jnp.int32(0)
+    )
 
 
 def _membership(query_idx, query_mask, ref_idx, ref_mask):
@@ -130,11 +140,27 @@ def vo_step(
     # --- per-feature 3D displacement labels (ShowFeaturesOnFeed.m:11-12) ---
     disp = jnp.linalg.norm(X_cur - X_prev, axis=-1)
 
+    # --- persistent track ids ---
+    # Stereo row j (left feature a_idx[j]) inherits the id of the previous-
+    # frame feature it was tracked from; untracked rows get fresh ids.
+    eq = (m_st.a_idx[:, None] == tr.cur_l_idx[None, :]) & m_st.mask[:, None] & tr.mask[None, :]
+    inherited_pos = jnp.argmax(eq, axis=1)  # [C] position in TrackResult rows
+    has_parent = jnp.any(eq, axis=1)
+    parent_ids = jnp.take(state.prev.ids, jnp.take(tr.old_row, inherited_pos))
+    fresh_needed = m_st.mask & ~has_parent
+    fresh_rank = jnp.cumsum(fresh_needed.astype(jnp.int32)) - 1
+    fresh_ids = state.next_id + fresh_rank
+    ids = jnp.where(
+        m_st.mask, jnp.where(has_parent, parent_ids, fresh_ids), jnp.int32(-1)
+    ).astype(jnp.int32)
+    next_id = state.next_id + jnp.sum(fresh_needed.astype(jnp.int32))
+
     new_state = VOState(
-        prev=stereo,
+        prev=stereo._replace(ids=ids),
         pose_c2w=pose,
         prev_rel=rel,
         frame_idx=state.frame_idx + 1,
+        next_id=next_id,
     )
     out = FrameOutput(
         pose_c2w=pose,

@@ -46,6 +46,7 @@ def run_sequence(
     checkpoint_every: int = 0,
     resume: bool = False,
     metrics_path: Optional[str] = None,
+    use_ba: bool = False,
 ) -> RunResult:
     """Run VO over ``seq`` (StereoSequence or SyntheticSequence surface).
 
@@ -95,6 +96,11 @@ def run_sequence(
     from ..utils.profiling import MetricsLog
 
     mlog = MetricsLog(metrics_path) if metrics_path else None
+    wba = None
+    if use_ba:
+        from .ba_runner import Keyframe, WindowedBA
+
+        wba = WindowedBA(calib, cfg.ba)
     t0 = time.perf_counter()
     for i in range(start_frame, n):
         t_frame = time.perf_counter()
@@ -105,6 +111,31 @@ def run_sequence(
         )
         if insert_landmarks:
             lmap = insert(lmap, out.new_lm_l_px, out.new_lm_r_px, out.new_lm_mask, out.pose_c2w)
+        if wba is not None and i > 0 and i % cfg.ba.keyframe_every == 0:
+            prev = state.prev
+            wba.add_keyframe(
+                Keyframe(
+                    frame_idx=i,
+                    pose_c2w=np.asarray(out.pose_c2w),
+                    ids=np.asarray(prev.ids),
+                    l_px=np.asarray(prev.l_xy),
+                    r_px=np.asarray(prev.r_xy),
+                    mask=np.asarray(prev.mask),
+                )
+            )
+            ba_res = wba.optimize()
+            if ba_res is not None:
+                T_new, _ = ba_res
+                # Current frame IS the last keyframe: adopt its refined pose
+                # so subsequent chaining starts from the corrected estimate.
+                state = state._replace(pose_c2w=jnp.asarray(T_new[-1], jnp.float32))
+                out = out._replace(pose_c2w=state.pose_c2w)
+                # Rewrite stored history for the window's keyframes.
+                for kf in wba.window:
+                    if kf.frame_idx > start_frame and kf.frame_idx - 1 < len(poses) + 0:
+                        pos = kf.frame_idx - 1 - start_frame
+                        if 0 <= pos < len(poses):
+                            poses[pos] = kf.pose_c2w.copy()
         if i > 0:  # all_poses starts at frame 2 (VO.m:133)
             poses.append(np.asarray(out.pose_c2w))
             rels.append(np.asarray(out.rel_pose))
