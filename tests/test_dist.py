@@ -58,3 +58,70 @@ def test_frame_parallel_detect():
     # Sharded result must equal the single-device vmap result.
     ref = jax.jit(jax.vmap(lambda im: __import__("vo_tpu.frontend.sift", fromlist=["sift"]).detect_and_describe(im, cfg)))(jnp.asarray(frames))
     np.testing.assert_allclose(np.asarray(feats.xy), np.asarray(ref.xy), atol=1e-5)
+
+
+def test_sharded_pose_graph_matches_single(rng, gt_poses):
+    import jax.numpy as jnp
+
+    from vo_tpu.ba import pose_graph
+    from vo_tpu.config import MeshConfig
+    from vo_tpu.dist import mesh as mesh_mod, pose_graph_sharded
+    from vo_tpu.geom import se3
+
+    K = 9
+    gt = jnp.asarray(gt_poses[:K], jnp.float32)
+    ei, ej, Z, em, ew = pose_graph.odometry_edges(gt)
+    g = pose_graph.PoseGraph(
+        T_c2w=gt, edge_i=ei, edge_j=ej, edge_T=Z, edge_mask=em, edge_weight=ew
+    )
+    # Perturb the poses so there is something to optimize.
+    import numpy as np
+
+    pert = np.asarray(gt).copy()
+    pert[3][:3, 3] += [0.2, -0.1, 0.15]
+    pert[6][:3, 3] += [-0.15, 0.05, 0.2]
+    g = g._replace(T_c2w=jnp.asarray(pert))
+    ref = pose_graph.optimize(g, iters=8)
+    m = mesh_mod.make_mesh(MeshConfig(data=1, model=8))
+    got = pose_graph_sharded.optimize_sharded(g, m, iters=8)
+    np.testing.assert_allclose(np.asarray(got.T_c2w), np.asarray(ref.T_c2w), atol=2e-4)
+    assert float(got.cost) < float(got.cost0)
+
+
+def test_scaling_harness_runs():
+    from vo_tpu.dist import scaling
+
+    rows = scaling.run(device_counts=(1, 4), frame_batch=4, image_size=(64, 128), n_hyp=256)
+    assert len(rows) == 2
+    assert rows[0]["devices"] == 1 and rows[1]["devices"] == 4
+    assert rows[1]["frontend_efficiency"] > 0
+
+
+def test_step_determinism(rng, kitti_calib):
+    """Identical inputs -> bit-identical jitted step outputs (SURVEY §5 race/determinism)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vo_tpu.config import PipelineConfig, RansacConfig, SIFTConfig
+    from vo_tpu.io import synthetic
+    from vo_tpu.odometry.pipeline import init_state, make_jitted_step
+
+    seq = synthetic.kitti_synthetic_sequence(
+        n_frames=2, n_landmarks=500, seed=9, image_size=(128, 256)
+    )
+    cfg = PipelineConfig(
+        sift=SIFTConfig(max_keypoints=128, n_octaves=2),
+        ransac=RansacConfig(n_hypotheses=64),
+        max_tracks=128,
+    )
+    step = make_jitted_step(seq.calib, cfg)
+    l, r = seq.frame(0)
+    l = jnp.asarray(l, jnp.float32)
+    r = jnp.asarray(r, jnp.float32)
+    key = jax.random.PRNGKey(3)
+    s1, o1 = step(init_state(cfg), l, r, key)
+    s2, o2 = step(init_state(cfg), l, r, key)
+    np.testing.assert_array_equal(np.asarray(o1.pose_c2w), np.asarray(o2.pose_c2w))
+    np.testing.assert_array_equal(np.asarray(s1.prev.desc if hasattr(s1.prev, 'desc') else s1.prev.l_desc), np.asarray(s2.prev.l_desc))
+    np.testing.assert_array_equal(np.asarray(s1.prev.ids), np.asarray(s2.prev.ids))

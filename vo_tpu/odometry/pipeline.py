@@ -101,9 +101,21 @@ def vo_step(
     """One frame. Jit with static (calib-as-weak-static via closure, cfg static)."""
     cap = cfg.max_tracks
 
+    # Accept uint8 frames: the host->device hop rides a tunnel on this
+    # setup, so the runner ships 1 byte/px and normalization happens here.
+    if left.dtype == jnp.uint8:
+        left = left.astype(jnp.float32) * (1.0 / 255.0)
+    if right.dtype == jnp.uint8:
+        right = right.astype(jnp.float32) * (1.0 / 255.0)
+
     # --- front-end (VO.m:79-87) ---
-    feats_l = detect_and_describe(left, cfg.sift)
-    feats_r = detect_and_describe(right, cfg.sift)
+    # One vmapped program over the stereo pair: convs/top_k/gathers batch
+    # across the two images instead of running as two serial programs.
+    feats_lr = jax.vmap(lambda im: detect_and_describe(im, cfg.sift))(
+        jnp.stack([left, right])
+    )
+    feats_l = jax.tree.map(lambda x: x[0], feats_lr)
+    feats_r = jax.tree.map(lambda x: x[1], feats_lr)
     stereo, m_st = stereo_features_with_matches(feats_l, feats_r, cfg.matcher, cap)
 
     # --- temporal 4-view cascade (VO.m:106-107 / 280-334) ---

@@ -59,9 +59,19 @@ def run_sequence(
         insert_landmarks = cfg.view_3d
     n = len(seq) if n_frames is None else min(n_frames, len(seq))
     step = make_jitted_step(calib, cfg)
+    # Donate the map so the [capacity, 3] store is updated in place instead
+    # of copied every frame.
     insert = jax.jit(
-        lambda m, lpx, rpx, msk, pose: lm_mod.insert(m, lpx, rpx, msk, pose, calib, cfg.landmarks)
+        lambda m, lpx, rpx, msk, pose: lm_mod.insert(m, lpx, rpx, msk, pose, calib, cfg.landmarks),
+        donate_argnums=0,
     )
+
+    def to_device(img):
+        a = np.asarray(img)
+        if a.dtype != np.uint8:
+            # Quantize to the camera's native 8 bits: 4x less tunnel traffic.
+            a = (np.clip(a, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        return jnp.asarray(a)
     state = init_state(cfg)
     lmap = lm_mod.init_map(cfg.landmarks)
     key = jax.random.PRNGKey(seed)
@@ -84,13 +94,16 @@ def run_sequence(
     t_compile0 = time.perf_counter()
     if warmup:
         l0, r0 = seq.frame(0)
-        l0 = jnp.asarray(l0, jnp.float32)
-        r0 = jnp.asarray(r0, jnp.float32)
+        l0 = to_device(l0)
+        r0 = to_device(r0)
         s_w, o_w = step(state, l0, r0, key)
         jax.block_until_ready(o_w.pose_c2w)
         if insert_landmarks:
-            m_w = insert(lmap, o_w.new_lm_l_px, o_w.new_lm_r_px, o_w.new_lm_mask, o_w.pose_c2w)
+            # insert donates its map argument: warm up on a throwaway map so
+            # the real one is not consumed before the loop starts.
+            m_w = insert(lm_mod.init_map(cfg.landmarks), o_w.new_lm_l_px, o_w.new_lm_r_px, o_w.new_lm_mask, o_w.pose_c2w)
             jax.block_until_ready(m_w.xyz)
+            del m_w
     compile_s = time.perf_counter() - t_compile0
 
     from ..utils.profiling import MetricsLog
@@ -106,9 +119,7 @@ def run_sequence(
         t_frame = time.perf_counter()
         left, right = seq.frame(i)
         key, sub = jax.random.split(key)
-        state, out = step(
-            state, jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32), sub
-        )
+        state, out = step(state, to_device(left), to_device(right), sub)
         if insert_landmarks:
             lmap = insert(lmap, out.new_lm_l_px, out.new_lm_r_px, out.new_lm_mask, out.pose_c2w)
         if wba is not None and i > 0 and i % cfg.ba.keyframe_every == 0:
