@@ -58,3 +58,19 @@ def test_runner_metrics_path(tmp_path):
     rows = [json.loads(l) for l in open(p)]
     assert len(rows) == 3
     assert {"n_tracks", "n_inliers", "inlier_ratio", "frame_ms"} <= set(rows[0])
+
+
+def test_debug_utils():
+    import jax.numpy as jnp
+
+    from vo_tpu.utils import debug
+
+    with debug.nan_debug():
+        pass
+    with debug.compile_logging():
+        pass
+    assert debug.check_determinism(lambda x: x * 2, jnp.arange(4.0))
+    import itertools
+
+    counter = itertools.count()
+    assert not debug.check_determinism(lambda x: x + next(counter), jnp.arange(4.0))
