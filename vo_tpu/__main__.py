@@ -34,6 +34,7 @@ def _add_run(sub):
     p.add_argument("--hypotheses", type=int, default=None)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--ba", action="store_true", help="enable sliding-window bundle adjustment")
+    p.add_argument("--loop-closure", action="store_true", help="enable loop detection + pose-graph correction")
     return p
 
 
@@ -95,6 +96,7 @@ def cmd_run(args) -> int:
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
         use_ba=args.ba,
+        use_loop_closure=args.loop_closure,
     )
     runner.save_result(res, args.out)
     print(f"{res.poses.shape[0] + 1} frames  {res.frames_per_sec:.2f} fps  {res.per_frame_ms:.1f} ms/frame")

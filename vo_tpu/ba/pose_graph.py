@@ -65,7 +65,8 @@ def optimize(g: PoseGraph, iters: int = 10, damping: float = 1e-6) -> PoseGraphR
         r = jax.vmap(_edge_residual)(z6, z6, Ti, Tj, g.edge_T)
         return jnp.sum(w * jnp.sum(r * r, axis=-1))
 
-    def gn_step(T, _):
+    def gn_step(carry, _):
+        T, lam = carry
         r, Ji, Jj = _residuals_and_jac(T, g)
         # Assemble H (6K x 6K) and b by scatter-add over the two endpoints.
         H = jnp.zeros((K, 6, K, 6), T.dtype)
@@ -80,18 +81,37 @@ def optimize(g: PoseGraph, iters: int = 10, damping: float = 1e-6) -> PoseGraphR
         b = b.at[g.edge_i].add(-jnp.einsum("eab,ea->eb", Jiw, r))
         b = b.at[g.edge_j].add(-jnp.einsum("eab,ea->eb", Jjw, r))
         eye6 = jnp.eye(6, dtype=T.dtype)
-        anchor = jnp.zeros((K,), T.dtype).at[0].set(1e8)
+        # Anchor the gauge (node 0) AND every edge-less node: padded node
+        # slots otherwise leave ~zero diagonal blocks that wreck the f32 LU
+        # solve (dxi -> inf/NaN -> every GN step rejected).
+        deg = (
+            jnp.zeros((K,), T.dtype)
+            .at[g.edge_i]
+            .add(jnp.where(g.edge_mask, 1.0, 0.0))
+            .at[g.edge_j]
+            .add(jnp.where(g.edge_mask, 1.0, 0.0))
+        )
+        anchor = jnp.where(
+            (jnp.arange(K) == 0) | (deg == 0), jnp.asarray(1e6, T.dtype), 0.0
+        )
+        # Adaptive LM damping: a full GN step can overshoot badly on SE(3)
+        # (loop residuals of ~1 m / ~1 rad); without raising lambda on
+        # reject the scan re-proposes the identical step forever.
         Hd = H.at[jnp.arange(K), :, jnp.arange(K), :].add(
-            (anchor + damping)[:, None, None] * eye6
+            (anchor + lam)[:, None, None] * eye6
         )
         dxi = jnp.linalg.solve(Hd.reshape(6 * K, 6 * K), b.reshape(6 * K)).reshape(K, 6)
         T_try = jnp.einsum("kij,kjl->kil", jax.vmap(se3.exp)(dxi), T)
-        better = cost_of(T_try) < cost_of(T)
+        cost_try = cost_of(T_try)
+        better = cost_try < cost_of(T)
         T_new = jnp.where(better, T_try, T)
-        return T_new, None
+        lam_new = jnp.where(better, jnp.maximum(lam * 0.3, 1e-8), lam * 10.0)
+        return (T_new, lam_new), None
 
     cost0 = cost_of(g.T_c2w)
-    T, _ = jax.lax.scan(gn_step, g.T_c2w, None, length=iters)
+    (T, _), _ = jax.lax.scan(
+        gn_step, (g.T_c2w, jnp.asarray(max(damping, 1e-4), g.T_c2w.dtype)), None, length=iters
+    )
     return PoseGraphResult(T_c2w=T, cost0=cost0, cost=cost_of(T))
 
 

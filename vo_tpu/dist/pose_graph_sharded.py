@@ -43,7 +43,8 @@ def optimize_sharded(
             r = jax.vmap(pg._edge_residual)(z6, z6, Ti, Tj, eT)
             return jax.lax.psum(jnp.sum(w * jnp.sum(r * r, axis=-1)), axis)
 
-        def gn_step(T, _):
+        def gn_step(carry, _):
+            T, lam = carry
             r, Ji, Jj = pg._residuals_and_jac(T, shard)
             H = jnp.zeros((K, 6, K, 6), T.dtype)
             b = jnp.zeros((K, 6), T.dtype)
@@ -60,19 +61,35 @@ def optimize_sharded(
             H = jax.lax.psum(H, axis)
             b = jax.lax.psum(b, axis)
             eye6 = jnp.eye(6, dtype=T.dtype)
-            anchor = jnp.zeros((K,), T.dtype).at[0].set(1e8)
+            # Anchor node 0 + edge-less nodes (see ba.pose_graph.optimize).
+            deg = (
+                jnp.zeros((K,), T.dtype)
+                .at[ei]
+                .add(jnp.where(em, 1.0, 0.0))
+                .at[ej]
+                .add(jnp.where(em, 1.0, 0.0))
+            )
+            deg = jax.lax.psum(deg, axis)
+            anchor = jnp.where(
+                (jnp.arange(K) == 0) | (deg == 0), jnp.asarray(1e6, T.dtype), 0.0
+            )
+            # Adaptive LM damping (see ba.pose_graph.optimize).
             Hd = H.at[jnp.arange(K), :, jnp.arange(K), :].add(
-                (anchor + damping)[:, None, None] * eye6
+                (anchor + lam)[:, None, None] * eye6
             )
             dxi = jnp.linalg.solve(Hd.reshape(6 * K, 6 * K), b.reshape(6 * K)).reshape(K, 6)
             from ..geom import se3
 
             T_try = jnp.einsum("kij,kjl->kil", jax.vmap(se3.exp)(dxi), T)
             better = cost_of(T_try) < cost_of(T)
-            return jnp.where(better, T_try, T), None
+            T_new = jnp.where(better, T_try, T)
+            lam_new = jnp.where(better, jnp.maximum(lam * 0.3, 1e-8), lam * 10.0)
+            return (T_new, lam_new), None
 
         cost0 = cost_of(T_c2w)
-        T, _ = jax.lax.scan(gn_step, T_c2w, None, length=iters)
+        (T, _), _ = jax.lax.scan(
+            gn_step, (T_c2w, jnp.asarray(max(damping, 1e-4), T_c2w.dtype)), None, length=iters
+        )
         return T, cost0, cost_of(T)
 
     fn = jax.shard_map(

@@ -84,15 +84,14 @@ def build_bin_maps(G_level: jnp.ndarray, sigma_rel: float) -> jnp.ndarray:
     # 2x2 sum-pool to stride 2 (energy-preserving).
     H2, W2 = H // 2, W // 2
     maps = maps[: H2 * 2, : W2 * 2].reshape(H2, 2, W2, 2, _NB).sum(axis=(1, 3))
-    # Separable Gaussian blur at half sigma (stride-2 grid).
+    # Separable Gaussian blur at half sigma (stride-2 grid); banded-matmul
+    # formulation (see pyramid.blur_separable) keeps it on the MXU.
     sigma_map = max(1.5 * sigma_rel / 2.0, 0.5)
-    k = jnp.asarray(gaussian_kernel_1d(sigma_map))
-    r = (k.shape[0] - 1) // 2
-    x = jnp.moveaxis(maps, -1, 0)[:, None]  # [8, 1, H2, W2]
-    x = jnp.pad(x, ((0, 0), (0, 0), (r, r), (r, r)), mode="edge")
-    x = jax.lax.conv_general_dilated(x, k.reshape(1, 1, -1, 1), (1, 1), "VALID")
-    x = jax.lax.conv_general_dilated(x, k.reshape(1, 1, 1, -1), (1, 1), "VALID")
-    return jnp.moveaxis(x[:, 0], 0, -1)  # [H2, W2, 8]
+    from .pyramid import blur_separable
+
+    x = jnp.moveaxis(maps, -1, 0)  # [8, H2, W2]
+    x = blur_separable(x, gaussian_kernel_1d(sigma_map))
+    return jnp.moveaxis(x, 0, -1)  # [H2, W2, 8]
 
 
 def _bilinear_rows(flat: jnp.ndarray, level: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray, H2: int, W2: int):

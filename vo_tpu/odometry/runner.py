@@ -47,6 +47,7 @@ def run_sequence(
     resume: bool = False,
     metrics_path: Optional[str] = None,
     use_ba: bool = False,
+    use_loop_closure: bool = False,
 ) -> RunResult:
     """Run VO over ``seq`` (StereoSequence or SyntheticSequence surface).
 
@@ -114,6 +115,11 @@ def run_sequence(
         from .ba_runner import Keyframe, WindowedBA
 
         wba = WindowedBA(calib, cfg.ba)
+    lclo = None
+    if use_loop_closure:
+        from ..slam.loop_closure import ArchivedKeyframe, LoopCloser, LoopConfig
+
+        lclo = LoopCloser(calib, LoopConfig())
     t0 = time.perf_counter()
     for i in range(start_frame, n):
         t_frame = time.perf_counter()
@@ -122,6 +128,28 @@ def run_sequence(
         state, out = step(state, to_device(left), to_device(right), sub)
         if insert_landmarks:
             lmap = insert(lmap, out.new_lm_l_px, out.new_lm_r_px, out.new_lm_mask, out.pose_c2w)
+        if lclo is not None and i > 0 and i % cfg.ba.keyframe_every == 0:
+            prev = state.prev
+            lc_res = lclo.add_keyframe(
+                ArchivedKeyframe(
+                    frame_idx=i,
+                    pose_c2w=np.asarray(out.pose_c2w),
+                    l_px=np.asarray(prev.l_xy),
+                    r_px=np.asarray(prev.r_xy),
+                    l_desc=np.asarray(prev.l_desc),
+                    mask=np.asarray(prev.mask),
+                )
+            )
+            if lc_res is not None:
+                # Loop closed: adopt the globally corrected keyframe poses.
+                state = state._replace(
+                    pose_c2w=jnp.asarray(lclo.keyframes[-1].pose_c2w, jnp.float32)
+                )
+                out = out._replace(pose_c2w=state.pose_c2w)
+                for akf in lclo.keyframes:
+                    pos = akf.frame_idx - 1 - start_frame
+                    if 0 <= pos < len(poses):
+                        poses[pos] = akf.pose_c2w.copy()
         if wba is not None and i > 0 and i % cfg.ba.keyframe_every == 0:
             prev = state.prev
             wba.add_keyframe(

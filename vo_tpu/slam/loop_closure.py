@@ -1,0 +1,181 @@
+"""Loop closure: proximity-gated detection + geometric verification +
+global pose-graph correction.
+
+No reference counterpart — the reference's trajectory drifts unbounded
+("visible unclosed drift", BASELINE.md, 4500/map.png) because nothing ever
+re-observes the map. Here:
+
+1. every keyframe is archived (pose + stereo features + descriptors);
+2. when the current keyframe comes within ``radius`` meters of an archived
+   keyframe at least ``min_gap`` keyframes older, the pair is VERIFIED:
+   descriptors matched (frontend.match, one MXU matmul), the candidate's
+   stereo pairs triangulated, and RANSAC-P3P (pose.ransac) estimates the
+   current camera's pose in the candidate frame — acceptance needs
+   ``min_inliers`` geometric inliers;
+3. accepted loops become edges in a global SE(3) pose graph over ALL
+   keyframes (ba.pose_graph) with odometry edges between consecutive
+   keyframes; the graph solve redistributes the accumulated drift;
+4. non-keyframe poses are corrected rigidly with their preceding keyframe.
+
+Fixed capacities (node/edge padding + masks) keep the graph solve a single
+compiled program as the trajectory grows.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ba import pose_graph as pg
+from ..config import MatcherConfig, RansacConfig
+from ..frontend.match import match
+from ..geom.camera import StereoCalib
+from ..geom.triangulate import triangulate_rectified
+from ..pose.ransac import estimate_world_pose
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    radius: float = 10.0  # meters — candidate gate on translation distance
+    min_gap: int = 20  # keyframes — skip recent neighbors
+    min_inliers: int = 25  # geometric verification threshold
+    match_capacity: int = 512
+    max_keyframes: int = 512  # node capacity of the global graph
+    max_loop_edges: int = 64
+    odometry_weight: float = 1.0
+    loop_weight: float = 30.0
+    graph_iters: int = 12
+
+
+@dataclasses.dataclass
+class ArchivedKeyframe:
+    frame_idx: int
+    pose_c2w: np.ndarray
+    l_px: np.ndarray
+    r_px: np.ndarray
+    l_desc: np.ndarray
+    mask: np.ndarray
+
+
+class LoopCloser:
+    def __init__(self, calib: StereoCalib, cfg: LoopConfig, ransac: RansacConfig | None = None, matcher: MatcherConfig | None = None):
+        self.calib = calib
+        self.cfg = cfg
+        self.ransac = ransac or RansacConfig(n_hypotheses=256)
+        self.matcher = matcher or MatcherConfig()
+        self.keyframes: list[ArchivedKeyframe] = []
+        self.loop_edges: list[tuple[int, int, np.ndarray]] = []  # (old_k, new_k, Z)
+        self._match = jax.jit(
+            lambda da, ma, db, mb: match(da, ma, db, mb, self.matcher, cfg.match_capacity)
+        )
+        self._estimate = jax.jit(
+            lambda px, X, m, key: estimate_world_pose(px, X, m, calib, self.ransac, key)
+        )
+        self._optimize = jax.jit(lambda g: pg.optimize(g, iters=cfg.graph_iters))
+        self._key = jax.random.PRNGKey(17)
+
+    # -- detection ----------------------------------------------------------
+    def _candidates(self, pose: np.ndarray) -> list[int]:
+        t = pose[:3, 3]
+        out = []
+        horizon = len(self.keyframes) - self.cfg.min_gap
+        for k in range(max(0, horizon)):
+            d = np.linalg.norm(self.keyframes[k].pose_c2w[:3, 3] - t)
+            if d < self.cfg.radius:
+                out.append(k)
+        # Nearest few only.
+        out.sort(key=lambda k: np.linalg.norm(self.keyframes[k].pose_c2w[:3, 3] - t))
+        return out[:3]
+
+    # -- verification -------------------------------------------------------
+    def _verify(self, cand: ArchivedKeyframe, cur: ArchivedKeyframe) -> Optional[np.ndarray]:
+        """Returns Z = pose of CURRENT camera in CANDIDATE camera frame, or None."""
+        m = self._match(
+            jnp.asarray(cur.l_desc), jnp.asarray(cur.mask),
+            jnp.asarray(cand.l_desc), jnp.asarray(cand.mask),
+        )
+        a = np.asarray(m.a_idx)
+        b = np.asarray(m.b_idx)
+        km = np.asarray(m.mask)
+        if km.sum() < self.cfg.min_inliers:
+            return None
+        # Candidate-frame 3D from its stereo pair; current-frame 2D left px.
+        X_cand = triangulate_rectified(
+            jnp.asarray(cand.l_px, jnp.float32), jnp.asarray(cand.r_px, jnp.float32), self.calib
+        )
+        Xm = jnp.take(X_cand, jnp.asarray(b), axis=0)
+        px = jnp.take(jnp.asarray(cur.l_px, jnp.float32), jnp.asarray(a), axis=0)
+        depth_ok = (Xm[:, 2] > 0.5) & (Xm[:, 2] < 150.0)
+        msk = jnp.asarray(km) & depth_ok
+        self._key, sub = jax.random.split(self._key)
+        est = self._estimate(px, Xm, msk, sub)
+        if not bool(est.ok) or int(est.n_inliers) < self.cfg.min_inliers:
+            return None
+        return np.asarray(est.pose_c2w)
+
+    # -- public API ---------------------------------------------------------
+    def add_keyframe(self, kf: ArchivedKeyframe) -> Optional[dict]:
+        """Archive kf, try to close a loop, and if one verifies, re-optimize
+        the global graph. Returns {'corrected': [K,4,4], 'loop': (old,new)}
+        or None."""
+        self.keyframes.append(kf)
+        if len(self.keyframes) > self.cfg.max_keyframes:
+            return None  # capacity reached; archive-only
+        cur_k = len(self.keyframes) - 1
+        for k in self._candidates(kf.pose_c2w):
+            Z = self._verify(self.keyframes[k], kf)
+            if Z is None:
+                continue
+            self.loop_edges.append((k, cur_k, Z))
+            if len(self.loop_edges) > self.cfg.max_loop_edges:
+                self.loop_edges.pop(0)
+            corrected = self._solve_graph()
+            if corrected is not None:
+                return dict(corrected=corrected, loop=(k, cur_k))
+        return None
+
+    def _solve_graph(self) -> Optional[np.ndarray]:
+        K = self.cfg.max_keyframes
+        n = len(self.keyframes)
+        E_cap = K + self.cfg.max_loop_edges
+        T0 = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+        for k, kf in enumerate(self.keyframes):
+            T0[k] = kf.pose_c2w
+        ei = np.zeros(E_cap, np.int32)
+        ej = np.zeros(E_cap, np.int32)
+        eT = np.tile(np.eye(4, dtype=np.float32), (E_cap, 1, 1))
+        em = np.zeros(E_cap, bool)
+        ew = np.zeros(E_cap, np.float32)
+        # Odometry edges between consecutive keyframes (current estimates).
+        for k in range(n - 1):
+            ei[k], ej[k] = k, k + 1
+            eT[k] = np.linalg.inv(self.keyframes[k].pose_c2w) @ self.keyframes[k + 1].pose_c2w
+            em[k] = True
+            ew[k] = self.cfg.odometry_weight
+        # Loop edges.
+        for idx, (a, b, Z) in enumerate(self.loop_edges):
+            j = K + idx - 0
+            if j >= E_cap:
+                break
+            ei[j], ej[j] = a, b
+            eT[j] = Z
+            em[j] = True
+            ew[j] = self.cfg.loop_weight
+        g = pg.PoseGraph(
+            T_c2w=jnp.asarray(T0),
+            edge_i=jnp.asarray(ei),
+            edge_j=jnp.asarray(ej),
+            edge_T=jnp.asarray(eT),
+            edge_mask=jnp.asarray(em),
+            edge_weight=jnp.asarray(ew),
+        )
+        res = self._optimize(g)
+        if not np.isfinite(float(res.cost)):
+            return None
+        T = np.asarray(res.T_c2w)[:n]
+        for k, kf in enumerate(self.keyframes):
+            kf.pose_c2w = T[k]
+        return T
