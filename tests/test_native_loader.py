@@ -90,3 +90,30 @@ def test_kitti_read_image_uses_native(tmp_path):
     _write_png(p, arr)
     got = kitti.read_image(p)
     np.testing.assert_allclose(got, arr.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_stereo_sequence_uses_prefetch(tmp_path):
+    """StereoSequence with a fake KITTI layout decodes via the native pool."""
+    import shutil
+
+    from vo_tpu.io import kitti
+
+    rng = np.random.default_rng(5)
+    seq_dir = tmp_path / "00"
+    (seq_dir / "image_0").mkdir(parents=True)
+    (seq_dir / "image_1").mkdir(parents=True)
+    shutil.copy("/root/reference/kitti/00/calib.txt", seq_dir / "calib.txt")
+    arrs = []
+    for i in range(4):
+        a0 = rng.integers(0, 256, (12, 20), dtype=np.uint8)
+        a1 = rng.integers(0, 256, (12, 20), dtype=np.uint8)
+        _write_png(str(seq_dir / "image_0" / f"{i:06d}.png"), a0)
+        _write_png(str(seq_dir / "image_1" / f"{i:06d}.png"), a1)
+        arrs.append((a0, a1))
+    seq = kitti.StereoSequence(str(seq_dir))
+    assert seq._feed is not None  # native pool engaged
+    for i in [0, 2, 1, 3]:
+        l, r = seq.frame(i)
+        np.testing.assert_allclose(l, arrs[i][0].astype(np.float32) / 255.0, atol=1e-6)
+        np.testing.assert_allclose(r, arrs[i][1].astype(np.float32) / 255.0, atol=1e-6)
+    seq.close()

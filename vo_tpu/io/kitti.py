@@ -94,7 +94,7 @@ class StereoSequence:
     (VO.m:16-17, 71-72), plus calib/times/GT in one handle.
     """
 
-    def __init__(self, seq_dir: str, poses_path: str | None = None):
+    def __init__(self, seq_dir: str, poses_path: str | None = None, prefetch: bool = True):
         self.seq_dir = seq_dir
         self.calib = load_stereo_calib(seq_dir)
         times_path = os.path.join(seq_dir, "times.txt")
@@ -102,12 +102,31 @@ class StereoSequence:
         self.left_paths = list_frames(seq_dir, 0)
         self.right_paths = list_frames(seq_dir, 1)
         self.gt_poses = read_poses(poses_path) if poses_path and os.path.exists(poses_path) else None
+        # Native decode-ahead pool (C++ threads) when the library is built:
+        # interleave L/R so both eyes of frame i decode together.
+        self._feed = None
+        if prefetch and self.left_paths:
+            try:
+                from . import native_loader
+
+                if native_loader.available():
+                    inter = [p for lr in zip(self.left_paths, self.right_paths) for p in lr]
+                    self._feed = native_loader.PrefetchFeed(inter, ahead=8, threads=4)
+            except Exception:
+                self._feed = None
 
     def __len__(self) -> int:
         return len(self.left_paths)
 
     def frame(self, i: int):
+        if self._feed is not None:
+            return self._feed[2 * i], self._feed[2 * i + 1]
         return read_image(self.left_paths[i]), read_image(self.right_paths[i])
+
+    def close(self):
+        if self._feed is not None:
+            self._feed.close()
+            self._feed = None
 
     def __iter__(self) -> Iterator:
         for i in range(len(self)):
