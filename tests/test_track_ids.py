@@ -70,7 +70,11 @@ def test_shared_ids_are_same_landmark(run_states):
     assert shared
     errs = [np.linalg.norm(pts[2][i] - pts[3][i]) for i in shared]
     med = np.median(errs)
-    assert med < 1.0, med
+    # Stereo depth noise scales as z^2 / (f * b): at this reduced resolution
+    # (fu ~ 148 px) a half-pixel disparity error at z = 30 m is already ~3 m.
+    # Id mix-ups would show tens of meters; gate well below that.
+    sigma_z = 30.0**2 / (float(seq.calib.fu) * float(seq.calib.baseline)) * 0.25
+    assert med < max(1.0, 2.0 * sigma_z), (med, sigma_z)
 
 
 def test_next_id_monotone(run_states):

@@ -63,6 +63,21 @@ def calib_from_projections(P1, P2, image_size=(376, 1241), dtype=jnp.float32) ->
     )
 
 
+def scale_calib(calib: StereoCalib, image_size) -> StereoCalib:
+    """Rescale a calibration to a new (H, W) image size.
+
+    Focal lengths / principal point / P-matrix translation columns scale with
+    the resize ratio; the metric baseline is invariant. Used by the synthetic
+    renderer so reduced-resolution test frames keep a geometrically sensible
+    field of view (principal point inside the image).
+    """
+    H0, W0 = calib.image_size
+    H1, W1 = (int(s) for s in image_size)
+    sy, sx = H1 / H0, W1 / W0
+    S = jnp.asarray([[sx, 0.0, 0.0], [0.0, sy, 0.0], [0.0, 0.0, 1.0]], calib.P1.dtype)
+    return calib_from_projections(S @ calib.P1, S @ calib.P2, image_size=(H1, W1))
+
+
 def project(P: jnp.ndarray, pts3d: jnp.ndarray) -> jnp.ndarray:
     """Project [..., N, 3] camera-frame points through a [3, 4] matrix -> [..., N, 2] px."""
     Xh = jnp.concatenate([pts3d, jnp.ones_like(pts3d[..., :1])], axis=-1)

@@ -141,10 +141,16 @@ class SyntheticSequence:
         seed: int = 0,
         image_size: tuple | None = None,
     ):
+        if image_size is not None and tuple(image_size) != tuple(calib.image_size):
+            # Keep the field of view sensible at reduced test resolutions:
+            # rescale intrinsics instead of cropping to the top-left corner.
+            from ..geom.camera import scale_calib
+
+            calib = scale_calib(calib, image_size)
         self.calib = calib
         self.gt_poses = gt_poses
         self.times = times
-        self.H, self.W = image_size if image_size is not None else calib.image_size
+        self.H, self.W = calib.image_size
         rng = np.random.default_rng(seed)
         self.landmarks = scatter_landmarks(rng, gt_poses, n_landmarks)
         self.patch = patch
