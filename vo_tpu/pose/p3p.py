@@ -118,6 +118,37 @@ def solve_quartic(c4, c3, c2, c1, c0, polish_iters: int = 8):
     return roots, valid
 
 
+def _align_triads(src: jnp.ndarray, dst: jnp.ndarray):
+    """Exact rigid alignment of 3 corresponding points: dst = R @ src + t.
+
+    src, dst: [..., 3, 3] (three points, xyz). Builds the orthonormal triad
+    (edge, in-plane normal component, cross) of each triangle and composes
+    R = T_dst @ T_src^T — exact when the correspondences are consistent
+    (the P3P case), no SVD. Returns (R [..., 3, 3], t [..., 3], ok [...]),
+    ok False for degenerate (collinear / coincident) triangles.
+    """
+
+    def triad(p):
+        e1 = p[..., 1, :] - p[..., 0, :]
+        e2 = p[..., 2, :] - p[..., 0, :]
+        n1 = jnp.linalg.norm(e1, axis=-1, keepdims=True)
+        u1 = e1 / jnp.maximum(n1, 1e-12)
+        e2p = e2 - jnp.sum(e2 * u1, axis=-1, keepdims=True) * u1
+        n2 = jnp.linalg.norm(e2p, axis=-1, keepdims=True)
+        u2 = e2p / jnp.maximum(n2, 1e-12)
+        u3 = jnp.cross(u1, u2)
+        ok = (n1[..., 0] > 1e-9) & (n2[..., 0] > 1e-9)
+        return jnp.stack([u1, u2, u3], axis=-1), ok  # columns = basis
+
+    Ts, ok_s = triad(src)
+    Td, ok_d = triad(dst)
+    R = jnp.einsum("...ij,...kj->...ik", Td, Ts)  # Td @ Ts^T
+    mu_s = jnp.mean(src, axis=-2)
+    mu_d = jnp.mean(dst, axis=-2)
+    t = mu_d - jnp.einsum("...ij,...j->...i", R, mu_s)
+    return R, t, ok_s & ok_d
+
+
 class P3PSolutions(NamedTuple):
     """Up to 4 poses per problem. T_w2c maps world -> camera."""
 
@@ -182,9 +213,13 @@ def p3p_grunert(bearings: jnp.ndarray, pts_world: jnp.ndarray) -> P3PSolutions:
         axis=-2,
     )
     world_pts = jnp.broadcast_to(pts_world[..., None, :, :], cam_pts.shape)
-    # Rigid alignment world -> camera per root.
-    R, t = se3.kabsch(world_pts, cam_pts)
-    valid = v_ok & u_ok & ~deg[..., None]
+    # Rigid alignment world -> camera per root. The three correspondences are
+    # exact by construction (camera points are distances along the bearings),
+    # so an orthonormal-triad alignment is exact — and unlike Kabsch it needs
+    # no batched 3x3 SVD, which lowers to an iterative loop that dominated
+    # RANSAC time on TPU (measured 15.7 ms of a 16.6 ms estimate).
+    R, t, tri_ok = _align_triads(world_pts, cam_pts)
+    valid = v_ok & u_ok & ~deg[..., None] & tri_ok
     # Verify the alignment actually reproduces the bearings (kills wrong roots
     # from polish failures / reflections).
     pred = jnp.einsum("...rij,...rnj->...rni", R, world_pts) + t[..., None, :]
