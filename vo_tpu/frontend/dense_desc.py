@@ -94,13 +94,20 @@ def build_bin_maps(G_level: jnp.ndarray, sigma_rel: float) -> jnp.ndarray:
     return jnp.moveaxis(x, 0, -1)  # [H2, W2, 8]
 
 
-def _bilinear_rows(flat: jnp.ndarray, level: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray, H2: int, W2: int):
-    """Bilinear sample of [L*H2*W2, 8] rows at stride-2 coords -> [..., 8]."""
+def _bilinear_rows(flat: jnp.ndarray, row_base: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray, H2, W2):
+    """Bilinear sample of [N, 8] rows at stride-2 coords -> [..., 8].
+
+    ``row_base`` is the flat row index of (y=0, x=0) of the level the sample
+    reads from (i.e. octave offset + level * H2 * W2 precomputed by the
+    caller). H2/W2 may be python ints (single-octave maps) or per-keypoint
+    integer arrays broadcastable against ``ys``/``xs`` (multi-octave
+    flattened maps).
+    """
     x0 = jnp.clip(jnp.floor(xs), 0, W2 - 2)
     y0 = jnp.clip(jnp.floor(ys), 0, H2 - 2)
     fx = jnp.clip(xs - x0, 0.0, 1.0)[..., None]
     fy = jnp.clip(ys - y0, 0.0, 1.0)[..., None]
-    base = level * (H2 * W2) + y0.astype(jnp.int32) * W2 + x0.astype(jnp.int32)
+    base = row_base + y0.astype(jnp.int32) * W2 + x0.astype(jnp.int32)
     v00 = jnp.take(flat, base, axis=0, mode="clip")
     v10 = jnp.take(flat, base + 1, axis=0, mode="clip")
     v01 = jnp.take(flat, base + W2, axis=0, mode="clip")
@@ -113,14 +120,19 @@ def _bilinear_rows(flat: jnp.ndarray, level: jnp.ndarray, ys: jnp.ndarray, xs: j
     )
 
 
+def _col(v):
+    """Broadcast a per-keypoint [K] array (or python int) against [K, P] taps."""
+    return v[:, None] if getattr(v, "ndim", 0) == 1 else v
+
+
 def orientations(
     maps_flat: jnp.ndarray,
-    lvl0: jnp.ndarray,
+    row_base: jnp.ndarray,
     yf: jnp.ndarray,
     xf: jnp.ndarray,
     sigma_rel: jnp.ndarray,
-    H2: int,
-    W2: int,
+    H2,
+    W2,
 ) -> jnp.ndarray:
     """Dominant orientation per keypoint from a widened histogram window.
 
@@ -131,7 +143,8 @@ def orientations(
     grid at 1.5*sigma spacing with Gaussian weights widens the effective
     window to ~2.4 sigma at the cost of 9 row samples per keypoint.
 
-    lvl0: [K] map index (level-1); yf/xf: [K] full-res coords.
+    row_base: [K] flat row index of the keypoint's level origin;
+    yf/xf: [K] octave-local full-res coords.
     """
     d = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
     oy, ox = jnp.meshgrid(d, d, indexing="ij")
@@ -143,8 +156,7 @@ def orientations(
     # sits at full-res 2i + 0.5, so map coords are (p - 0.5) / 2.
     ys = (yf[:, None] + oy[None] * step - 0.5) / 2.0
     xs = (xf[:, None] + ox[None] * step - 0.5) / 2.0
-    lv = jnp.broadcast_to(lvl0[:, None], xs.shape)
-    taps = _bilinear_rows(maps_flat, lv, ys, xs, H2, W2)  # [K, 9, 8]
+    taps = _bilinear_rows(maps_flat, _col(row_base), ys, xs, _col(H2), _col(W2))  # [K, 9, 8]
     hist = jnp.einsum("p,kpb->kb", w, taps)  # [K, 8]
     # Circular smoothing (the maps are spatially but not angularly smoothed).
     hist = (jnp.roll(hist, 1, axis=-1) + hist + jnp.roll(hist, -1, axis=-1)) / 3.0
@@ -161,13 +173,13 @@ def orientations(
 
 def descriptors(
     maps_flat: jnp.ndarray,
-    lvl0: jnp.ndarray,
+    row_base: jnp.ndarray,
     yf: jnp.ndarray,
     xf: jnp.ndarray,
     sigma_rel: jnp.ndarray,
     theta: jnp.ndarray,
-    H2: int,
-    W2: int,
+    H2,
+    W2,
 ) -> jnp.ndarray:
     """[K, 128] descriptors via 16 rotated cell-center row samples per keypoint."""
     K = yf.shape[0]
@@ -180,8 +192,7 @@ def descriptors(
     # Rotated cell centers, full-res px -> stride-2 map coords.
     xs = (xf[:, None] + (ct[:, None] * ox[None] - st[:, None] * oy[None]) * cell[:, None] - 0.5) / 2.0
     ys = (yf[:, None] + (st[:, None] * ox[None] + ct[:, None] * oy[None]) * cell[:, None] - 0.5) / 2.0
-    lv = jnp.broadcast_to(lvl0[:, None], xs.shape)
-    cells = _bilinear_rows(maps_flat, lv, ys, xs, H2, W2)  # [K, 16, 8]
+    cells = _bilinear_rows(maps_flat, _col(row_base), ys, xs, _col(H2), _col(W2))  # [K, 16, 8]
     cells = cells * jnp.asarray(_W_CELL)[None, :, None]
     # Rotate orientation bins into the keypoint frame (fractional circular shift).
     shift = theta / (2.0 * jnp.pi) * _NB  # [K]

@@ -88,15 +88,19 @@ _W_SPATIAL = _spatial_weights()  # [256, 16]
 _W_GAUSS_DESC = _gauss_window(_DESC_GRID, _DESC_GRID / 2.0)  # [256]
 
 
-def _bilinear_flat(flat: jnp.ndarray, level: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray, H: int, W: int):
-    """Bilinear sample a [L*H*W]-flattened stack at (level, ys, xs); level integer."""
+def _bilinear_flat(flat: jnp.ndarray, level: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray, H, W, row0=0):
+    """Bilinear sample a [L*H*W]-flattened stack at (level, ys, xs); level integer.
+
+    H/W may be traced per-keypoint scalars and ``row0`` an element offset of
+    the stack's first row (multi-octave flattened buffers).
+    """
     x0 = jnp.clip(jnp.floor(xs), 0, W - 2)
     y0 = jnp.clip(jnp.floor(ys), 0, H - 2)
     fx = jnp.clip(xs - x0, 0.0, 1.0)
     fy = jnp.clip(ys - y0, 0.0, 1.0)
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-    base = level * (H * W) + y0i * W + x0i
+    base = row0 + level * (H * W) + y0i * W + x0i
     v00 = jnp.take(flat, base, mode="clip")
     v10 = jnp.take(flat, base + 1, mode="clip")
     v01 = jnp.take(flat, base + W, mode="clip")
@@ -114,6 +118,13 @@ def _bilinear_flat(flat: jnp.ndarray, level: jnp.ndarray, ys: jnp.ndarray, xs: j
 # ---------------------------------------------------------------------------
 
 
+def _win3(axis: int) -> tuple:
+    """Window dims for a 3-tap reduce along one axis of a rank-3 array."""
+    w = [1, 1, 1]
+    w[axis] = 3
+    return tuple(w)
+
+
 def _find_candidates(dog: jnp.ndarray, cfg: SIFTConfig, k_cap: int, border: int = 5):
     """Dense extrema test + top-k selection on one octave's [S+2, H, W] DoG stack.
 
@@ -121,8 +132,14 @@ def _find_candidates(dog: jnp.ndarray, cfg: SIFTConfig, k_cap: int, border: int 
     stack (inner levels 1..S).
     """
     S2, H, W = dog.shape
-    mx = jax.lax.reduce_window(dog, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
-    mn = jax.lax.reduce_window(dog, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "SAME")
+    # 3x3x3 extrema via SEPARABLE 1-D min/max passes (exact: max of a cube =
+    # max along each axis in turn). One fused 27-tap reduce_window lowers to
+    # a much slower stencil on TPU than three 3-tap passes.
+    mx = dog
+    mn = dog
+    for axis in (2, 1, 0):
+        mx = jax.lax.reduce_window(mx, -jnp.inf, jax.lax.max, _win3(axis), (1, 1, 1), "SAME")
+        mn = jax.lax.reduce_window(mn, jnp.inf, jax.lax.min, _win3(axis), (1, 1, 1), "SAME")
     is_ext = (dog >= mx) | (dog <= mn)
     prefilter = jnp.abs(dog) > 0.5 * cfg.contrast_threshold
     ys = jax.lax.broadcasted_iota(jnp.int32, dog.shape, 1)
@@ -190,7 +207,7 @@ def _refine_one(dog_flat, lvl, y, x, H: int, W: int, cfg: SIFTConfig):
     return offset[0], offset[1], offset[2], contrast, ok
 
 
-def _orientation_one(gx_flat, gy_flat, lvl, yc, xc, sigma_rel, H: int, W: int, cfg: SIFTConfig):
+def _orientation_one(gx_flat, gy_flat, lvl, yc, xc, sigma_rel, H, W, cfg: SIFTConfig, row0=0):
     """Dominant gradient orientation of one keypoint (vmapped). Returns radians."""
     R = _ORI_R
     d = jnp.arange(-R, R + 1, dtype=jnp.float32)
@@ -199,8 +216,8 @@ def _orientation_one(gx_flat, gy_flat, lvl, yc, xc, sigma_rel, H: int, W: int, c
     step = 1.5 * sigma_rel * 3.0 / R
     ys = yc + oy.reshape(-1) * step
     xs = xc + ox.reshape(-1) * step
-    gxs = _bilinear_flat(gx_flat, lvl, ys, xs, H, W)
-    gys = _bilinear_flat(gy_flat, lvl, ys, xs, H, W)
+    gxs = _bilinear_flat(gx_flat, lvl, ys, xs, H, W, row0)
+    gys = _bilinear_flat(gy_flat, lvl, ys, xs, H, W, row0)
     mag = jnp.sqrt(gxs * gxs + gys * gys)
     w = jnp.exp(-(oy.reshape(-1) ** 2 + ox.reshape(-1) ** 2) / (2.0 * (R / 1.5) ** 2))
     ang = jnp.arctan2(gys, gxs)  # [-pi, pi]
@@ -227,7 +244,7 @@ def _orientation_one(gx_flat, gy_flat, lvl, yc, xc, sigma_rel, H: int, W: int, c
     return (bin_f / nb - 0.5 + 1.0 / (2 * nb)) * 2 * jnp.pi
 
 
-def _descriptor_one(gx_flat, gy_flat, lvl, yc, xc, sigma_rel, theta, H: int, W: int):
+def _descriptor_one(gx_flat, gy_flat, lvl, yc, xc, sigma_rel, theta, H, W, row0=0):
     """128-D SIFT descriptor of one keypoint (vmapped)."""
     n = _DESC_GRID
     d = jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0
@@ -239,8 +256,8 @@ def _descriptor_one(gx_flat, gy_flat, lvl, yc, xc, sigma_rel, theta, H: int, W: 
     ct, st = jnp.cos(theta), jnp.sin(theta)
     xs = xc + (ct * ox - st * oy) * step
     ys = yc + (st * ox + ct * oy) * step
-    gxs = _bilinear_flat(gx_flat, lvl, ys, xs, H, W)
-    gys = _bilinear_flat(gy_flat, lvl, ys, xs, H, W)
+    gxs = _bilinear_flat(gx_flat, lvl, ys, xs, H, W, row0)
+    gys = _bilinear_flat(gy_flat, lvl, ys, xs, H, W, row0)
     # Rotate gradients into the keypoint frame.
     rgx = ct * gxs + st * gys
     rgy = -st * gxs + ct * gys
@@ -267,80 +284,130 @@ def _octave_caps(cfg: SIFTConfig) -> list:
     return [max(64, cfg.max_keypoints >> o) for o in range(cfg.n_octaves)]
 
 
-def detect_and_describe(img: jnp.ndarray, cfg: SIFTConfig) -> Features:
-    """Full detector + descriptor for one [H, W] image. Jit-friendly.
+class _Candidates(NamedTuple):
+    """Refined extrema from all octaves, octave-local coordinates."""
 
-    Output is a fixed-capacity Features (cfg.max_keypoints) with validity mask.
-    """
-    pyr = build_pyramid(img, cfg)
-    sig, _ = pyr_mod.sigma_schedule(cfg)
-    per_octave = []
+    octave: jnp.ndarray  # [M] int32
+    lvl: jnp.ndarray  # [M] int32 DoG level of the extremum
+    xf: jnp.ndarray  # [M] octave-local subpixel x
+    yf: jnp.ndarray  # [M]
+    sigma_rel: jnp.ndarray  # [M] sigma relative to the octave base
+    response: jnp.ndarray  # [M] |interpolated contrast|
+    valid: jnp.ndarray  # [M] bool
+
+
+def _detect_candidates(pyr: Pyramid, cfg: SIFTConfig) -> _Candidates:
+    """Extrema + subpixel refinement for every octave (detection phase only)."""
+    fields = {k: [] for k in _Candidates._fields}
     for o in range(cfg.n_octaves):
         dog = pyr.dog[o]
-        G = pyr.gauss[o]
         S2, H, W = dog.shape
         k_cap = _octave_caps(cfg)[o]
         lvl, ys, xs, score, valid = _find_candidates(dog, cfg, k_cap)
         dog_flat = dog.reshape(-1)
         refine = jax.vmap(lambda l, y, x: _refine_one(dog_flat, l, y, x, H, W, cfg))
         dx, dy, ds, contrast, ok = refine(lvl, ys, xs)
-        valid &= ok
-        xf = xs.astype(jnp.float32) + dx
-        yf = ys.astype(jnp.float32) + dy
         lf = lvl.astype(jnp.float32) + ds
-        # sigma relative to the octave base (for window sizing) and absolute.
-        sigma_rel = cfg.sigma0 * (2.0 ** (lf / cfg.scales_per_octave))
-        sigma_abs = sigma_rel * (2.0**o)
-        GH, GW = G.shape[1], G.shape[2]
-        if cfg.fast_descriptor:
-            from . import dense_desc
+        fields["octave"].append(jnp.full(lvl.shape, o, jnp.int32))
+        fields["lvl"].append(lvl)
+        fields["xf"].append(xs.astype(jnp.float32) + dx)
+        fields["yf"].append(ys.astype(jnp.float32) + dy)
+        fields["sigma_rel"].append(cfg.sigma0 * (2.0 ** (lf / cfg.scales_per_octave)))
+        fields["response"].append(jnp.abs(contrast))
+        fields["valid"].append(valid & ok)
+    return _Candidates(**{k: jnp.concatenate(v) for k, v in fields.items()})
 
-            H2, W2 = GH // 2, GW // 2
-            maps = [
-                dense_desc.build_bin_maps(G[l], float(sig[l]))
-                for l in range(1, cfg.scales_per_octave + 1)
-            ]
-            maps_flat = jnp.concatenate([m.reshape(-1, 8) for m in maps], axis=0)
-            lvl0 = jnp.clip(lvl - 1, 0, cfg.scales_per_octave - 1)
-            ori = dense_desc.orientations(maps_flat, lvl0, yf, xf, sigma_rel, H2, W2)
-            desc = dense_desc.descriptors(maps_flat, lvl0, yf, xf, sigma_rel, ori, H2, W2)
-        else:
-            gx, gy = gradients(G)
-            gx_flat = gx.reshape(-1)
-            gy_flat = gy.reshape(-1)
-            ori = jax.vmap(
-                lambda l, y, x, s: _orientation_one(gx_flat, gy_flat, l, y, x, s, GH, GW, cfg)
-            )(lvl, yf, xf, sigma_rel)
-            desc = jax.vmap(
-                lambda l, y, x, s, t: _descriptor_one(gx_flat, gy_flat, l, y, x, s, t, GH, GW)
-            )(lvl, yf, xf, sigma_rel, ori)
-        scale_factor = float(2**o)
-        per_octave.append(
-            Features(
-                xy=jnp.stack([xf, yf], axis=-1) * scale_factor,
-                scale=sigma_abs,
-                orientation=ori,
-                response=jnp.abs(contrast),
-                desc=desc,
-                mask=valid,
-            )
-        )
-    # Merge octaves: global top-k by response.
-    xy = jnp.concatenate([f.xy for f in per_octave])
-    scale = jnp.concatenate([f.scale for f in per_octave])
-    orientation = jnp.concatenate([f.orientation for f in per_octave])
-    response = jnp.concatenate([f.response for f in per_octave])
-    desc = jnp.concatenate([f.desc for f in per_octave])
-    mask = jnp.concatenate([f.mask for f in per_octave])
-    k = cfg.max_keypoints
-    score = jnp.where(mask, response, -1.0)
+
+def _select_top(cand: _Candidates, k: int) -> tuple[_Candidates, jnp.ndarray]:
+    """Global top-k by response over all octaves' candidates."""
+    score = jnp.where(cand.valid, cand.response, -1.0)
     _, idx = jax.lax.top_k(score, k)
-    sel_mask = jnp.take(score, idx) > 0
+    sel = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), cand)
+    return sel._replace(valid=jnp.take(score, idx) > 0), idx
+
+
+def detect_and_describe(img: jnp.ndarray, cfg: SIFTConfig) -> Features:
+    """Full detector + descriptor for one [H, W] image. Jit-friendly.
+
+    Output is a fixed-capacity Features (cfg.max_keypoints) with validity
+    mask. TPU structure: detection (dense extrema + refine, per octave) runs
+    over the full per-octave candidate capacity, then candidates are
+    COMPACTED to the global top ``max_keypoints`` by response BEFORE the
+    gather-heavy orientation/descriptor stage — the descriptors only touch
+    the keypoints that survive, and a single call covers all octaves via a
+    flattened multi-octave bin-map buffer (per-keypoint row offsets).
+    """
+    pyr = build_pyramid(img, cfg)
+    sig, _ = pyr_mod.sigma_schedule(cfg)
+    cand = _detect_candidates(pyr, cfg)
+    sel, _ = _select_top(cand, cfg.max_keypoints)
+    oct_scale = jnp.take(
+        jnp.asarray([2.0**o for o in range(cfg.n_octaves)], jnp.float32), sel.octave
+    )
+    xy = jnp.stack([sel.xf, sel.yf], axis=-1) * oct_scale[:, None]
+    sigma_abs = sel.sigma_rel * oct_scale
+
+    if cfg.fast_descriptor:
+        from . import dense_desc
+
+        s = cfg.scales_per_octave
+        rows, oct_off, H2s, W2s = [], [], [], []
+        off = 0
+        for o in range(cfg.n_octaves):
+            G = pyr.gauss[o]
+            H2, W2 = G.shape[1] // 2, G.shape[2] // 2
+            for l in range(1, s + 1):
+                rows.append(dense_desc.build_bin_maps(G[l], float(sig[l])).reshape(-1, 8))
+            oct_off.append(off)
+            off += s * H2 * W2
+            H2s.append(H2)
+            W2s.append(W2)
+        maps_flat = jnp.concatenate(rows, axis=0)
+        lvl0 = jnp.clip(sel.lvl - 1, 0, s - 1)
+        H2_k = jnp.take(jnp.asarray(H2s, jnp.int32), sel.octave)
+        W2_k = jnp.take(jnp.asarray(W2s, jnp.int32), sel.octave)
+        row_base = jnp.take(jnp.asarray(oct_off, jnp.int32), sel.octave) + lvl0 * H2_k * W2_k
+        ori = dense_desc.orientations(
+            maps_flat, row_base, sel.yf, sel.xf, sel.sigma_rel, H2_k, W2_k
+        )
+        desc = dense_desc.descriptors(
+            maps_flat, row_base, sel.yf, sel.xf, sel.sigma_rel, ori, H2_k, W2_k
+        )
+    else:
+        # Lowe-exact oracle path: per-keypoint scalar-gather sampling from a
+        # flattened multi-octave gradient stack (same compaction benefit).
+        gx_rows, gy_rows, oct_off, GHs, GWs = [], [], [], [], []
+        off = 0
+        for o in range(cfg.n_octaves):
+            G = pyr.gauss[o]
+            gx, gy = gradients(G)
+            gx_rows.append(gx.reshape(-1))
+            gy_rows.append(gy.reshape(-1))
+            oct_off.append(off)
+            off += G.shape[0] * G.shape[1] * G.shape[2]
+            GHs.append(G.shape[1])
+            GWs.append(G.shape[2])
+        gx_flat = jnp.concatenate(gx_rows)
+        gy_flat = jnp.concatenate(gy_rows)
+        GH_k = jnp.take(jnp.asarray(GHs, jnp.int32), sel.octave)
+        GW_k = jnp.take(jnp.asarray(GWs, jnp.int32), sel.octave)
+        base_k = jnp.take(jnp.asarray(oct_off, jnp.int32), sel.octave)
+        ori = jax.vmap(
+            lambda b, l, y, x, s_, gh, gw: _orientation_one(
+                gx_flat, gy_flat, l, y, x, s_, gh, gw, cfg, row0=b
+            )
+        )(base_k, sel.lvl, sel.yf, sel.xf, sel.sigma_rel, GH_k, GW_k)
+        desc = jax.vmap(
+            lambda b, l, y, x, s_, t, gh, gw: _descriptor_one(
+                gx_flat, gy_flat, l, y, x, s_, t, gh, gw, row0=b
+            )
+        )(base_k, sel.lvl, sel.yf, sel.xf, sel.sigma_rel, ori, GH_k, GW_k)
+
     return Features(
-        xy=jnp.take(xy, idx, axis=0),
-        scale=jnp.take(scale, idx),
-        orientation=jnp.take(orientation, idx),
-        response=jnp.take(response, idx),
-        desc=jnp.take(desc, idx, axis=0),
-        mask=sel_mask,
+        xy=xy,
+        scale=sigma_abs,
+        orientation=ori,
+        response=sel.response,
+        desc=desc,
+        mask=sel.valid,
     )
