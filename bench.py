@@ -24,12 +24,24 @@ N_FRAMES = 30
 
 
 class _Preloaded:
-    """Pre-rendered frames so the timed loop measures device throughput, not host rasterization."""
+    """Pre-rendered frames so the timed loop measures device throughput, not host rasterization.
+
+    Frames are pre-quantized to uint8 — the camera's native bit depth and
+    what the real PNG loader (native/loader.cpp) hands the runner — so the
+    timed loop ships 1 byte/px and does no host-side float math.
+    """
 
     def __init__(self, seq, n):
         self.calib = seq.calib
         self.gt_poses = seq.gt_poses
-        self.frames = [seq.frame(i) for i in range(n)]
+
+        def q(img):
+            a = np.asarray(img)
+            if a.dtype != np.uint8:
+                a = (np.clip(a, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+            return a
+
+        self.frames = [tuple(q(im) for im in seq.frame(i)) for i in range(n)]
 
     def __len__(self):
         return len(self.frames)
@@ -51,6 +63,11 @@ def main():
     )
     pre = _Preloaded(seq, N_FRAMES)
     cfg = PipelineConfig()
+    # Warm run: compiles everything AND spins up the device/transfer path —
+    # the first executed sequence after compile runs ~2x slower than steady
+    # state on a tunneled TPU. The reported number is the steady-state
+    # throughput of the second, identical run.
+    runner.run_sequence(pre, cfg, n_frames=N_FRAMES)
     res = runner.run_sequence(pre, cfg, n_frames=N_FRAMES)
 
     ate = metrics.ate(res.poses, np.asarray(seq.gt_poses))

@@ -35,6 +35,9 @@ class SIFTConfig:
     # (frontend.dense_desc) instead of per-keypoint scalar-gather sampling.
     # ~5x faster on TPU; set False for the Lowe-exact oracle path.
     fast_descriptor: bool = True
+    # Fuse the bin-map construction into a Pallas VMEM kernel on the TPU
+    # backend (frontend.pallas_kernels); other backends use the XLA path.
+    use_pallas: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -60,13 +60,8 @@ def _cell_weights() -> np.ndarray:
 _W_CELL = _cell_weights()  # [16]
 
 
-def build_bin_maps(G_level: jnp.ndarray, sigma_rel: float) -> jnp.ndarray:
-    """One Gaussian level [H, W] -> blurred stride-2 bin maps [H2, W2, 8].
-
-    sigma_rel is the level's static scale (relative to the octave base); the
-    blur approximates the descriptor cell window sigma_cell = 1.5*sigma_rel.
-    """
-    H, W = G_level.shape
+def _soft_bin_pool(G_level: jnp.ndarray) -> jnp.ndarray:
+    """[H, W] -> UNBLURRED pooled soft-bin maps [8, H2, W2] (XLA reference path)."""
     gx = 0.5 * (jnp.roll(G_level, -1, axis=1) - jnp.roll(G_level, 1, axis=1))
     gy = 0.5 * (jnp.roll(G_level, -1, axis=0) - jnp.roll(G_level, 1, axis=0))
     gx = gx.at[:, 0].set(0).at[:, -1].set(0)
@@ -82,16 +77,54 @@ def build_bin_maps(G_level: jnp.ndarray, sigma_rel: float) -> jnp.ndarray:
     oh1 = jax.nn.one_hot((b0i + 1) % _NB, _NB, dtype=mag.dtype) * (fb * mag)[..., None]
     maps = oh0 + oh1  # [H, W, 8]
     # 2x2 sum-pool to stride 2 (energy-preserving).
+    H, W = G_level.shape
     H2, W2 = H // 2, W // 2
     maps = maps[: H2 * 2, : W2 * 2].reshape(H2, 2, W2, 2, _NB).sum(axis=(1, 3))
-    # Separable Gaussian blur at half sigma (stride-2 grid); banded-matmul
-    # formulation (see pyramid.blur_separable) keeps it on the MXU.
-    sigma_map = max(1.5 * sigma_rel / 2.0, 0.5)
+    return jnp.moveaxis(maps, -1, 0)  # [8, H2, W2]
+
+
+def _blur_maps(maps: jnp.ndarray, sigma_rel: float) -> jnp.ndarray:
+    """Blur [8, H2, W2] pooled maps at the descriptor cell window scale.
+
+    Separable Gaussian at half sigma (stride-2 grid); banded-matmul
+    formulation (see pyramid.blur_separable) keeps it on the MXU.
+    """
     from .pyramid import blur_separable
 
-    x = jnp.moveaxis(maps, -1, 0)  # [8, H2, W2]
-    x = blur_separable(x, gaussian_kernel_1d(sigma_map))
-    return jnp.moveaxis(x, 0, -1)  # [H2, W2, 8]
+    sigma_map = max(1.5 * sigma_rel / 2.0, 0.5)
+    return blur_separable(maps, gaussian_kernel_1d(sigma_map))
+
+
+def build_bin_maps(G_level: jnp.ndarray, sigma_rel: float) -> jnp.ndarray:
+    """One Gaussian level [H, W] -> blurred stride-2 bin maps [H2, W2, 8].
+
+    sigma_rel is the level's static scale (relative to the octave base); the
+    blur approximates the descriptor cell window sigma_cell = 1.5*sigma_rel.
+    """
+    return jnp.moveaxis(_blur_maps(_soft_bin_pool(G_level), sigma_rel), 0, -1)
+
+
+def build_bin_map_rows(
+    G_levels: jnp.ndarray, sigma_rels, use_pallas: bool = False
+) -> jnp.ndarray:
+    """[L, H, W] Gaussian levels of one octave -> flat [L*H2*W2, 8] map rows.
+
+    On the TPU backend with ``use_pallas`` the fused Pallas kernel computes
+    the pooled soft-bin maps in one VMEM pass (pallas_kernels.bin_maps_pallas);
+    elsewhere the XLA reference path is used. The per-level blur is shared.
+    """
+    L = G_levels.shape[0]
+    if use_pallas and jax.default_backend() == "tpu":
+        from .pallas_kernels import bin_maps_pallas
+
+        raw = bin_maps_pallas(G_levels)  # [L, 8, H2, W2]
+    else:
+        raw = jnp.stack([_soft_bin_pool(G_levels[l]) for l in range(L)])
+    rows = []
+    for l in range(L):
+        blurred = _blur_maps(raw[l], float(sigma_rels[l]))  # [8, H2, W2]
+        rows.append(jnp.moveaxis(blurred, 0, -1).reshape(-1, _NB))
+    return jnp.concatenate(rows, axis=0)
 
 
 def _bilinear_rows(flat: jnp.ndarray, row_base: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray, H2, W2):

@@ -296,14 +296,29 @@ class _Candidates(NamedTuple):
     valid: jnp.ndarray  # [M] bool
 
 
+def _find_candidates_pallas(dog: jnp.ndarray, cfg: SIFTConfig, k_cap: int, border: int = 5):
+    """Fused-kernel variant of _find_candidates (same contract, TPU backend)."""
+    from .pallas_kernels import extrema_scores_pallas
+
+    scores, Hp, Wp = extrema_scores_pallas(dog, cfg.contrast_threshold, border)
+    top, idx = jax.lax.top_k(scores.reshape(-1), k_cap)
+    lvl = idx // (Hp * Wp) + 1  # kernel emits inner levels only
+    rem = idx % (Hp * Wp)
+    return lvl, rem // Wp, rem % Wp, top, top > 0
+
+
 def _detect_candidates(pyr: Pyramid, cfg: SIFTConfig) -> _Candidates:
     """Extrema + subpixel refinement for every octave (detection phase only)."""
+    use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
     fields = {k: [] for k in _Candidates._fields}
     for o in range(cfg.n_octaves):
         dog = pyr.dog[o]
         S2, H, W = dog.shape
         k_cap = _octave_caps(cfg)[o]
-        lvl, ys, xs, score, valid = _find_candidates(dog, cfg, k_cap)
+        if use_pallas:
+            lvl, ys, xs, score, valid = _find_candidates_pallas(dog, cfg, k_cap)
+        else:
+            lvl, ys, xs, score, valid = _find_candidates(dog, cfg, k_cap)
         dog_flat = dog.reshape(-1)
         refine = jax.vmap(lambda l, y, x: _refine_one(dog_flat, l, y, x, H, W, cfg))
         dx, dy, ds, contrast, ok = refine(lvl, ys, xs)
@@ -356,8 +371,11 @@ def detect_and_describe(img: jnp.ndarray, cfg: SIFTConfig) -> Features:
         for o in range(cfg.n_octaves):
             G = pyr.gauss[o]
             H2, W2 = G.shape[1] // 2, G.shape[2] // 2
-            for l in range(1, s + 1):
-                rows.append(dense_desc.build_bin_maps(G[l], float(sig[l])).reshape(-1, 8))
+            rows.append(
+                dense_desc.build_bin_map_rows(
+                    G[1 : s + 1], sig[1 : s + 1], use_pallas=cfg.use_pallas
+                )
+            )
             oct_off.append(off)
             off += s * H2 * W2
             H2s.append(H2)
