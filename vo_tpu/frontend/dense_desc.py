@@ -227,16 +227,19 @@ def descriptors(
     ys = (yf[:, None] + (st[:, None] * ox[None] + ct[:, None] * oy[None]) * cell[:, None] - 0.5) / 2.0
     cells = _bilinear_rows(maps_flat, _col(row_base), ys, xs, _col(H2), _col(W2))  # [K, 16, 8]
     cells = cells * jnp.asarray(_W_CELL)[None, :, None]
-    # Rotate orientation bins into the keypoint frame (fractional circular shift).
+    # Rotate orientation bins into the keypoint frame (fractional circular
+    # shift) as a per-keypoint 8x8 one-hot matmul: a lane-axis
+    # take_along_axis would force per-element cross-lane permutes on TPU
+    # (measured ~15 ms/frame); the einsum is VPU-friendly dense math.
     shift = theta / (2.0 * jnp.pi) * _NB  # [K]
     s0 = jnp.floor(shift)
-    fs = (shift - s0)[:, None, None]
+    fs = (shift - s0)[:, None]  # [K, 1]
     bins = jnp.arange(_NB)
-    i0 = (bins[None, :] + s0[:, None].astype(jnp.int32)) % _NB  # [K, 8]
-    g0 = jnp.take_along_axis(cells, i0[:, None, :].repeat(_CELLS * _CELLS, axis=1), axis=-1)
-    i1 = (i0 + 1) % _NB
-    g1 = jnp.take_along_axis(cells, i1[:, None, :].repeat(_CELLS * _CELLS, axis=1), axis=-1)
-    desc = ((1.0 - fs) * g0 + fs * g1).reshape(K, _CELLS * _CELLS * _NB)
+    i0 = (bins[None, :] + s0[:, None].astype(jnp.int32)) % _NB  # [K, 8] out-bin -> in-bin
+    rot = (1.0 - fs[..., None]) * jax.nn.one_hot(i0, _NB, dtype=cells.dtype) + fs[
+        ..., None
+    ] * jax.nn.one_hot((i0 + 1) % _NB, _NB, dtype=cells.dtype)  # [K, 8out, 8in]
+    desc = jnp.einsum("koi,kci->kco", rot, cells).reshape(K, _CELLS * _CELLS * _NB)
     # Lowe normalization: L2 -> clip 0.2 -> L2.
     desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-12)
     desc = jnp.minimum(desc, 0.2)
