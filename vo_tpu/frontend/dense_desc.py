@@ -239,7 +239,12 @@ def descriptors(
     rot = (1.0 - fs[..., None]) * jax.nn.one_hot(i0, _NB, dtype=cells.dtype) + fs[
         ..., None
     ] * jax.nn.one_hot((i0 + 1) % _NB, _NB, dtype=cells.dtype)  # [K, 8out, 8in]
-    desc = jnp.einsum("koi,kci->kco", rot, cells).reshape(K, _CELLS * _CELLS * _NB)
+    # HIGHEST precision: the contraction is only 8x8 per keypoint, so full
+    # f32 precision is free and keeps bit-level agreement with the exact
+    # gather formulation (default bf16 matmul adds ~1.2e-2 abs error).
+    desc = jnp.einsum(
+        "koi,kci->kco", rot, cells, precision=jax.lax.Precision.HIGHEST
+    ).reshape(K, _CELLS * _CELLS * _NB)
     # Lowe normalization: L2 -> clip 0.2 -> L2.
     desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-12)
     desc = jnp.minimum(desc, 0.2)
