@@ -28,6 +28,7 @@ def _add_run(sub):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-view-3d", action="store_true", help="disable the landmark map (VO.m:6)")
     p.add_argument("--viz-every", type=int, default=0, help="figure dump period (VO.m:168 used 100)")
+    p.add_argument("--progress", action="store_true", help="per-frame console progress (syncs every frame)")
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-keypoints", type=int, default=None)
@@ -91,12 +92,16 @@ def cmd_run(args) -> int:
         cfg,
         n_frames=args.frames,
         seed=args.seed,
-        progress=progress,
+        # per-frame progress forces a host sync each frame; only wire it when
+        # asked — the every-N telemetry (--viz-every) is the fast-path default
+        progress=progress if args.progress else None,
         checkpoint_path=os.path.join(args.out, "checkpoint.npz"),
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
         use_ba=args.ba,
         use_loop_closure=args.loop_closure,
+        viz_every=args.viz_every,
+        viz_dir=os.path.join(args.out, "img") if args.viz_every else None,
     )
     runner.save_result(res, args.out)
     print(f"{res.poses.shape[0] + 1} frames  {res.frames_per_sec:.2f} fps  {res.per_frame_ms:.1f} ms/frame")

@@ -1,0 +1,236 @@
+"""Background keyframe refiner: BA + loop closure OFF the frame critical path.
+
+Round-1 design ran windowed BA (odometry.ba_runner) and loop closure
+(slam.loop_closure) inline in the frame loop, which forced a blocking
+device->host read of the keyframe payload every keyframe — on a tunneled
+TPU the sync round trips dominated (~220 ms/frame measured vs a ~16 ms
+compiled step). Here the frame loop only
+
+  1. starts ASYNC host copies of the keyframe payload (pose + stereo
+     features + descriptors) and enqueues the job, and
+  2. at the NEXT keyframe boundary, waits for the previous job (normally
+     long finished — the worker had ``keyframe_every`` frames of wall time)
+     and applies its rigid correction delta to the live pose with one tiny
+     host->device constant (no device->host read on the main thread).
+
+The lock-step "wait for the previous keyframe's job before submitting the
+next" rule keeps results DETERMINISTIC: the correction applied at keyframe
+k is always exactly the one produced by keyframe k-1's optimization,
+regardless of thread timing.
+
+The worker thread owns the WindowedBA / LoopCloser instances and maintains
+the corrected pose of every keyframe it has seen; at end of run the runner
+re-anchors the full trajectory onto those poses (odometry.correction).
+
+No reference counterpart — the reference never refines (VO.m:130 chains
+raw relative poses; drift is visible in 4500/map.png).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Optional
+
+import numpy as np
+
+from ..config import PipelineConfig
+from ..geom.camera import StereoCalib
+
+
+class _KeyframeJob:
+    """Device arrays captured at a keyframe boundary (host copies in flight)."""
+
+    __slots__ = ("frame_idx", "pose", "l_xy", "r_xy", "l_desc", "mask", "ids")
+
+    def __init__(self, frame_idx, pose, l_xy, r_xy, l_desc, mask, ids):
+        self.frame_idx = frame_idx
+        self.pose = pose
+        self.l_xy = l_xy
+        self.r_xy = r_xy
+        self.l_desc = l_desc
+        self.mask = mask
+        self.ids = ids
+
+
+def _start_async_copy(arr):
+    try:
+        arr.copy_to_host_async()
+    except (AttributeError, RuntimeError):
+        pass  # backend without async copies; np.asarray in the worker still works
+
+
+class RefinerWorker:
+    """Owns BA + loop closure on a worker thread; main thread never blocks on
+    device->host transfers for refinement."""
+
+    def __init__(
+        self,
+        calib: StereoCalib,
+        cfg: PipelineConfig,
+        use_ba: bool,
+        use_loop_closure: bool,
+    ):
+        self.calib = calib
+        self.cfg = cfg
+        self.wba = None
+        self.lclo = None
+        if use_ba:
+            from .ba_runner import WindowedBA
+
+            self.wba = WindowedBA(calib, cfg.ba)
+        if use_loop_closure:
+            from ..slam.loop_closure import LoopCloser, LoopConfig
+
+            self.lclo = LoopCloser(calib, LoopConfig())
+        # frame_idx -> latest corrected [4,4] pose (worker-owned, lock-guarded)
+        self._kf_corrected: dict[int, np.ndarray] = {}
+        self._kf_order: list[int] = []
+        self._deltas: list[np.ndarray] = []  # rigid deltas not yet consumed
+        self._lock = threading.Lock()
+        self._q: queue.Queue = queue.Queue()
+        self._error: Optional[BaseException] = None
+        self._loops_closed = 0
+        self._ba_solves = 0
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    # -- main-thread API ------------------------------------------------------
+
+    def submit(self, frame_idx: int, pose_dev, prev_feats) -> None:
+        """Enqueue a keyframe. ``pose_dev``/``prev_feats`` are DEVICE arrays;
+        async host copies are started here so the worker's np.asarray is a
+        cheap completion wait, not a fresh round trip."""
+        job = _KeyframeJob(
+            frame_idx,
+            pose_dev,
+            prev_feats.l_xy,
+            prev_feats.r_xy,
+            prev_feats.l_desc,
+            prev_feats.mask,
+            prev_feats.ids,
+        )
+        for name in ("pose", "l_xy", "r_xy", "l_desc", "mask", "ids"):
+            _start_async_copy(getattr(job, name))
+        self._q.put(job)
+
+    def wait_pending(self) -> None:
+        """Block until every submitted job has been processed (lock-step)."""
+        self._q.join()
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def pop_delta(self) -> Optional[np.ndarray]:
+        """Composed rigid correction produced since the last pop, or None.
+
+        Left-multiply the live pose chain by this delta: it maps the as-run
+        pose of the newest optimized keyframe onto its corrected pose, so the
+        whole not-yet-corrected segment moves rigidly with it."""
+        with self._lock:
+            if not self._deltas:
+                return None
+            d = self._deltas[0]
+            for extra in self._deltas[1:]:
+                d = extra @ d
+            self._deltas.clear()
+        return d
+
+    def corrected_keyframes(self) -> tuple[np.ndarray, np.ndarray]:
+        """(frame_idx [K], poses [K,4,4]) — final corrected keyframe poses."""
+        with self._lock:
+            idxs = np.asarray(self._kf_order, np.int64)
+            poses = (
+                np.stack([self._kf_corrected[i] for i in self._kf_order])
+                if self._kf_order
+                else np.zeros((0, 4, 4), np.float32)
+            )
+        return idxs, poses
+
+    @property
+    def stats(self) -> dict:
+        return dict(loops_closed=self._loops_closed, ba_solves=self._ba_solves)
+
+    def close(self) -> None:
+        """Drain the queue and stop the thread."""
+        self._q.join()
+        self._q.put(None)
+        self._thread.join(timeout=60.0)
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    # -- worker thread --------------------------------------------------------
+
+    def _run(self) -> None:
+        while True:
+            job = self._q.get()
+            if job is None:
+                self._q.task_done()
+                return
+            try:
+                self._process(job)
+            except BaseException as e:  # surfaced on the main thread
+                self._error = e
+            finally:
+                self._q.task_done()
+
+    def _process(self, job: _KeyframeJob) -> None:
+        pose = np.asarray(job.pose, np.float32)
+        l_xy = np.asarray(job.l_xy, np.float32)
+        r_xy = np.asarray(job.r_xy, np.float32)
+        mask = np.asarray(job.mask, bool)
+        snapshot = pose.copy()
+        with self._lock:
+            self._kf_corrected[job.frame_idx] = pose
+            self._kf_order.append(job.frame_idx)
+
+        if self.lclo is not None:
+            from ..slam.loop_closure import ArchivedKeyframe
+
+            res = self.lclo.add_keyframe(
+                ArchivedKeyframe(
+                    frame_idx=job.frame_idx,
+                    pose_c2w=pose,
+                    l_px=l_xy,
+                    r_px=r_xy,
+                    l_desc=np.asarray(job.l_desc, np.float32),
+                    mask=mask,
+                )
+            )
+            if res is not None:
+                self._loops_closed += 1
+                with self._lock:
+                    for akf in self.lclo.keyframes:
+                        self._kf_corrected[akf.frame_idx] = akf.pose_c2w.copy()
+
+        if self.wba is not None:
+            from .ba_runner import Keyframe
+
+            # BA sees the loop-corrected pose if a closure just fired.
+            with self._lock:
+                cur_pose = self._kf_corrected[job.frame_idx].copy()
+            self.wba.add_keyframe(
+                Keyframe(
+                    frame_idx=job.frame_idx,
+                    pose_c2w=cur_pose,
+                    ids=np.asarray(job.ids, np.int32),
+                    l_px=l_xy,
+                    r_px=r_xy,
+                    mask=mask,
+                )
+            )
+            ba_res = self.wba.optimize()
+            if ba_res is not None:
+                self._ba_solves += 1
+                with self._lock:
+                    for kf in self.wba.window:
+                        self._kf_corrected[kf.frame_idx] = kf.pose_c2w.copy()
+
+        with self._lock:
+            final = self._kf_corrected[job.frame_idx]
+            if not np.allclose(final, snapshot, atol=1e-7):
+                self._deltas.append(
+                    (final.astype(np.float64) @ np.linalg.inv(snapshot.astype(np.float64))).astype(
+                        np.float32
+                    )
+                )

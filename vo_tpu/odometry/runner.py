@@ -3,6 +3,14 @@
 The reference's outer ``for i = 1:n_frames`` (VO.m:64) with its every-100th
 frame telemetry (VO.m:168-204) and end-of-run persistence (VO.m:247-253).
 Host does IO + bookkeeping only; all math runs in the single jitted step.
+
+Refinement (BA / loop closure — north-star extensions, no reference
+counterpart) runs on a background worker (odometry.refiner): the frame loop
+submits keyframes with async device->host copies and applies the worker's
+rigid corrections one keyframe later; the full trajectory is re-anchored
+onto the corrected keyframes at end of run (odometry.correction). The main
+thread therefore never blocks on a device->host read, keeping the
+dispatch-ahead fast path intact with refinement enabled.
 """
 from __future__ import annotations
 
@@ -20,6 +28,8 @@ from ..config import PipelineConfig
 from ..geom.camera import StereoCalib
 from . import landmarks as lm_mod
 from .pipeline import init_state, make_jitted_step
+
+KITTI_DT = 0.10374  # mean frame period of kitti/00/times.txt (~9.6 Hz)
 
 
 class _DeviceHistory:
@@ -56,7 +66,8 @@ class _DeviceHistory:
         self._pending = []
 
     def result(self) -> list:
-        """One np.ndarray per field, concatenated over all frames."""
+        """One np.ndarray per field, concatenated over all frames (safe to
+        call mid-run: chunks are kept, a later call re-reads them)."""
         self.flush()
         if not self._chunks:
             return []
@@ -76,6 +87,14 @@ class RunResult:
     landmarks: np.ndarray  # [M, 3]
     frames_per_sec: float
     per_frame_ms: float
+    refine_stats: dict = dataclasses.field(default_factory=dict)
+
+
+def _dt_at(seq, i: int) -> float:
+    times = getattr(seq, "times", None)
+    if times is not None and i > 0 and i < len(times):
+        return float(times[i] - times[i - 1])
+    return KITTI_DT
 
 
 def run_sequence(
@@ -92,12 +111,18 @@ def run_sequence(
     metrics_path: Optional[str] = None,
     use_ba: bool = False,
     use_loop_closure: bool = False,
+    viz_every: int = 0,
+    viz_dir: Optional[str] = None,
+    verbose: bool = False,
 ) -> RunResult:
     """Run VO over ``seq`` (StereoSequence or SyntheticSequence surface).
 
     ``insert_landmarks`` defaults to cfg.view_3d (the reference's single flag,
     VO.m:6/145). With ``checkpoint_every > 0`` the resumable state is dumped
     to ``checkpoint_path`` periodically; ``resume=True`` restarts from it.
+    ``viz_every > 0`` replicates the reference's every-Nth-frame figure dump
+    to ``viz_dir``/<i>/{view,map,error,3d_map}.png plus the pretty_print
+    console block (VO.m:168-204, 261-277).
     """
     calib: StereoCalib = seq.calib
     if insert_landmarks is None:
@@ -110,6 +135,9 @@ def run_sequence(
         lambda m, lpx, rpx, msk, pose: lm_mod.insert(m, lpx, rpx, msk, pose, calib, cfg.landmarks),
         donate_argnums=0,
     )
+    # Rigid refinement delta applied to the live pose chain (one tiny
+    # host->device constant per correction; no device->host read).
+    apply_delta = jax.jit(lambda d, p: d @ p)
 
     def to_device(img):
         a = np.asarray(img)
@@ -151,127 +179,123 @@ def run_sequence(
             del m_w
     compile_s = time.perf_counter() - t_compile0
 
-    from ..utils.profiling import MetricsLog
+    from ..utils.profiling import MetricsLog, pretty_frame
 
     mlog = MetricsLog(metrics_path) if metrics_path else None
-    wba = None
-    if use_ba:
-        from .ba_runner import Keyframe, WindowedBA
+    refiner = None
+    if use_ba or use_loop_closure:
+        from .refiner import RefinerWorker
 
-        wba = WindowedBA(calib, cfg.ba)
-    lclo = None
-    if use_loop_closure:
-        from ..slam.loop_closure import ArchivedKeyframe, LoopCloser, LoopConfig
-
-        lclo = LoopCloser(calib, LoopConfig())
+        refiner = RefinerWorker(calib, cfg, use_ba=use_ba, use_loop_closure=use_loop_closure)
+    gt_poses = getattr(seq, "gt_poses", None)
+    if viz_every and viz_dir:
+        os.makedirs(viz_dir, exist_ok=True)
     # Fast path: no per-frame host consumer -> keep history on device and
-    # let dispatch run ahead of the chip (async). BA / loop closure / progress
-    # callbacks / metrics / checkpoints all need per-frame host values.
+    # let dispatch run ahead of the chip (async). Refinement stays on the
+    # fast path (the worker owns all host copies); progress / metrics /
+    # checkpoints need per-frame host values.
     deferred = not (
-        use_ba
-        or use_loop_closure
-        or progress is not None
+        progress is not None
         or mlog is not None
         or (checkpoint_every and checkpoint_path)
     )
     hist = _DeviceHistory() if deferred else None
+    ke = cfg.ba.keyframe_every
     t0 = time.perf_counter()
     for i in range(start_frame, n):
         t_frame = time.perf_counter()
         left, right = seq.frame(i)
         key, sub = jax.random.split(key)
+        if refiner is not None and i > 0 and i % ke == 0:
+            # Lock-step: the job submitted at the previous keyframe has had
+            # ``ke`` frames of wall time; normally this returns immediately.
+            refiner.wait_pending()
+            d = refiner.pop_delta()
+            if d is not None:
+                state = state._replace(
+                    pose_c2w=apply_delta(jnp.asarray(d, jnp.float32), state.pose_c2w)
+                )
         state, out = step(state, to_device(left), to_device(right), sub)
         if insert_landmarks:
             lmap = insert(lmap, out.new_lm_l_px, out.new_lm_r_px, out.new_lm_mask, out.pose_c2w)
+        if refiner is not None and i > 0 and i % ke == 0:
+            # state.prev now holds THIS frame's stereo features + track ids.
+            refiner.submit(i, out.pose_c2w, state.prev)
         if deferred:
             if i > 0:  # all_poses starts at frame 2 (VO.m:133)
                 hist.append(out.pose_c2w, out.rel_pose, out.n_inliers, out.n_tracks, out.pose_ok)
-            continue
-        if lclo is not None and i > 0 and i % cfg.ba.keyframe_every == 0:
-            prev = state.prev
-            lc_res = lclo.add_keyframe(
-                ArchivedKeyframe(
-                    frame_idx=i,
-                    pose_c2w=np.asarray(out.pose_c2w),
-                    l_px=np.asarray(prev.l_xy),
-                    r_px=np.asarray(prev.r_xy),
-                    l_desc=np.asarray(prev.l_desc),
-                    mask=np.asarray(prev.mask),
+        else:
+            if i > 0:
+                poses.append(np.asarray(out.pose_c2w))
+                rels.append(np.asarray(out.rel_pose))
+                n_in.append(int(out.n_inliers))
+                n_tr.append(int(out.n_tracks))
+                oks.append(bool(out.pose_ok))
+            if progress is not None:
+                progress(
+                    i,
+                    dict(
+                        n_tracks=int(out.n_tracks),
+                        n_inliers=int(out.n_inliers),
+                        pose_ok=bool(out.pose_ok),
+                    ),
                 )
-            )
-            if lc_res is not None:
-                # Loop closed: adopt the globally corrected keyframe poses.
-                state = state._replace(
-                    pose_c2w=jnp.asarray(lclo.keyframes[-1].pose_c2w, jnp.float32)
-                )
-                out = out._replace(pose_c2w=state.pose_c2w)
-                for akf in lclo.keyframes:
-                    pos = akf.frame_idx - 1 - start_frame
-                    if 0 <= pos < len(poses):
-                        poses[pos] = akf.pose_c2w.copy()
-        if wba is not None and i > 0 and i % cfg.ba.keyframe_every == 0:
-            prev = state.prev
-            wba.add_keyframe(
-                Keyframe(
-                    frame_idx=i,
-                    pose_c2w=np.asarray(out.pose_c2w),
-                    ids=np.asarray(prev.ids),
-                    l_px=np.asarray(prev.l_xy),
-                    r_px=np.asarray(prev.r_xy),
-                    mask=np.asarray(prev.mask),
-                )
-            )
-            ba_res = wba.optimize()
-            if ba_res is not None:
-                T_new, _ = ba_res
-                # Current frame IS the last keyframe: adopt its refined pose
-                # so subsequent chaining starts from the corrected estimate.
-                state = state._replace(pose_c2w=jnp.asarray(T_new[-1], jnp.float32))
-                out = out._replace(pose_c2w=state.pose_c2w)
-                # Rewrite stored history for the window's keyframes.
-                for kf in wba.window:
-                    if kf.frame_idx > start_frame and kf.frame_idx - 1 < len(poses) + 0:
-                        pos = kf.frame_idx - 1 - start_frame
-                        if 0 <= pos < len(poses):
-                            poses[pos] = kf.pose_c2w.copy()
-        if i > 0:  # all_poses starts at frame 2 (VO.m:133)
-            poses.append(np.asarray(out.pose_c2w))
-            rels.append(np.asarray(out.rel_pose))
-            n_in.append(int(out.n_inliers))
-            n_tr.append(int(out.n_tracks))
-            oks.append(bool(out.pose_ok))
-        if progress is not None:
-            progress(
-                i,
-                dict(
-                    n_tracks=int(out.n_tracks),
+            if mlog is not None:
+                nt = int(out.n_tracks)
+                mlog.log(
+                    i,
+                    n_tracks=nt,
                     n_inliers=int(out.n_inliers),
+                    inlier_ratio=round(int(out.n_inliers) / max(nt, 1), 4),
                     pose_ok=bool(out.pose_ok),
-                ),
-            )
-        if mlog is not None:
-            nt = int(out.n_tracks)
-            mlog.log(
-                i,
-                n_tracks=nt,
-                n_inliers=int(out.n_inliers),
-                inlier_ratio=round(int(out.n_inliers) / max(nt, 1), 4),
-                pose_ok=bool(out.pose_ok),
-                mean_reproj_err=float(out.mean_reproj_err),
-                frame_ms=round(1000.0 * (time.perf_counter() - t_frame), 2),
-            )
-        if checkpoint_every and checkpoint_path and (i + 1) % checkpoint_every == 0:
-            from . import checkpoint as ckpt_mod
+                    mean_reproj_err=float(out.mean_reproj_err),
+                    frame_ms=round(1000.0 * (time.perf_counter() - t_frame), 2),
+                )
+            if checkpoint_every and checkpoint_path and (i + 1) % checkpoint_every == 0:
+                from . import checkpoint as ckpt_mod
 
-            ckpt_mod.save(
-                checkpoint_path,
-                state,
-                lmap if insert_landmarks else None,
-                np.asarray(poses) if poses else np.zeros((0, 4, 4), np.float32),
-                np.asarray(rels) if rels else np.zeros((0, 4, 4), np.float32),
-                key,
-                i + 1,
-            )
+                ckpt_mod.save(
+                    checkpoint_path,
+                    state,
+                    lmap if insert_landmarks else None,
+                    np.asarray(poses) if poses else np.zeros((0, 4, 4), np.float32),
+                    np.asarray(rels) if rels else np.zeros((0, 4, 4), np.float32),
+                    key,
+                    i + 1,
+                )
+        # --- reference live telemetry: every-Nth-frame figures + console
+        # block (VO.m:168-204, 261-277). A deliberate host sync, amortized
+        # over viz_every frames exactly like the reference's mod(i,100).
+        if viz_every and i > 0 and i % viz_every == 0:
+            pose_h = np.asarray(out.pose_c2w)
+            rel_h = np.asarray(out.rel_pose)
+            print(pretty_frame(i, rel_h, pose_h, _dt_at(seq, i)))
+            if viz_dir:
+                from ..viz import figures
+
+                fields_so_far = hist.result() if hist is not None else []
+                poses_so_far = fields_so_far[0] if fields_so_far else np.asarray(poses)
+                if len(poses_so_far) == 0:
+                    poses_so_far = pose_h[None]
+                lms = None
+                if insert_landmarks:
+                    cnt = int(lmap.count)
+                    lms = np.asarray(lmap.xyz[:cnt]) if cnt else np.zeros((0, 3), np.float32)
+                figures.frame_report(
+                    viz_dir,
+                    i,
+                    np.asarray(left),
+                    dict(
+                        tracked_cur_px=np.asarray(out.tracked_cur_px),
+                        tracked_old_px=np.asarray(out.tracked_old_px),
+                        tracked_disp_3d=np.asarray(out.tracked_disp_3d),
+                        tracked_mask=np.asarray(out.tracked_mask),
+                    ),
+                    poses_so_far,
+                    np.asarray(gt_poses) if gt_poses is not None else None,
+                    times=getattr(seq, "times", None),
+                    landmarks=lms,
+                )
     jax.block_until_ready(state.pose_c2w)
     wall = time.perf_counter() - t0
     if hist is not None:
@@ -286,17 +310,35 @@ def run_sequence(
     if mlog is not None:
         mlog.close()
 
+    poses_arr = np.asarray(poses) if poses else np.zeros((0, 4, 4), np.float32)
+    rels_arr = np.asarray(rels) if rels else np.zeros((0, 4, 4), np.float32)
+    refine_stats: dict = {}
+    if refiner is not None:
+        refiner.close()
+        refine_stats = dict(refiner.stats)
+        kf_idx, kf_poses = refiner.corrected_keyframes()
+        # History row for frame i is i-1 (all_poses convention, VO.m:133).
+        rows = kf_idx - 1
+        keep = (rows >= 0) & (rows < poses_arr.shape[0])
+        if keep.any():
+            from .correction import reanchor_trajectory, rebuild_rel_poses
+
+            poses_arr = reanchor_trajectory(poses_arr, rows[keep], kf_poses[keep])
+            rels_arr = rebuild_rel_poses(poses_arr)
+        refine_stats["n_keyframes"] = int(kf_idx.size)
+
     count = int(lmap.count)
     lms = np.asarray(lmap.xyz[:count]) if insert_landmarks else np.zeros((0, 3), np.float32)
     return RunResult(
-        poses=np.asarray(poses) if poses else np.zeros((0, 4, 4), np.float32),
-        rel_poses=np.asarray(rels) if rels else np.zeros((0, 4, 4), np.float32),
+        poses=poses_arr,
+        rel_poses=rels_arr,
         n_inliers=np.asarray(n_in, np.int32),
         n_tracks=np.asarray(n_tr, np.int32),
         pose_ok=np.asarray(oks, bool),
         landmarks=lms,
         frames_per_sec=(n - start_frame) / wall if wall > 0 else float("nan"),
         per_frame_ms=1000.0 * wall / max(n - start_frame, 1),
+        refine_stats=refine_stats,
     )
 
 
@@ -318,6 +360,7 @@ def save_result(result: RunResult, out_dir: str) -> None:
                 frames_per_sec=result.frames_per_sec,
                 per_frame_ms=result.per_frame_ms,
                 n_frames=int(result.poses.shape[0]) + 1,
+                **{f"refine_{k}": v for k, v in result.refine_stats.items()},
             ),
             f,
             indent=2,

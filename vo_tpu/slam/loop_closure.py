@@ -23,6 +23,7 @@ compiled program as the trajectory grows.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Optional
 
 import jax
@@ -35,6 +36,8 @@ from ..frontend.match import match
 from ..geom.camera import StereoCalib
 from ..geom.triangulate import triangulate_rectified
 from ..pose.ransac import estimate_world_pose
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,6 +71,7 @@ class LoopCloser:
         self.matcher = matcher or MatcherConfig()
         self.keyframes: list[ArchivedKeyframe] = []
         self.loop_edges: list[tuple[int, int, np.ndarray]] = []  # (old_k, new_k, Z)
+        self.decimations = 0  # capacity-decimation count (observability)
         self._match = jax.jit(
             lambda da, ma, db, mb: match(da, ma, db, mb, self.matcher, cfg.match_capacity)
         )
@@ -120,10 +124,16 @@ class LoopCloser:
     def add_keyframe(self, kf: ArchivedKeyframe) -> Optional[dict]:
         """Archive kf, try to close a loop, and if one verifies, re-optimize
         the global graph. Returns {'corrected': [K,4,4], 'loop': (old,new)}
-        or None."""
+        or None.
+
+        At node capacity the keyframe set is DECIMATED (every 2nd keyframe
+        kept, newest always kept) instead of silently freezing: the graph
+        keeps covering the whole trajectory at half temporal resolution, so
+        arbitrarily long sequences stay closable (KITTI 00 is 4,541 frames).
+        """
         self.keyframes.append(kf)
         if len(self.keyframes) > self.cfg.max_keyframes:
-            return None  # capacity reached; archive-only
+            self._decimate()
         cur_k = len(self.keyframes) - 1
         for k in self._candidates(kf.pose_c2w):
             Z = self._verify(self.keyframes[k], kf)
@@ -136,6 +146,30 @@ class LoopCloser:
             if corrected is not None:
                 return dict(corrected=corrected, loop=(k, cur_k))
         return None
+
+    def _decimate(self) -> None:
+        """Halve keyframe density: keep even-position keyframes + the newest.
+
+        Loop edges are index pairs into ``keyframes``; edges whose endpoints
+        survive are remapped, the rest dropped (they re-verify naturally when
+        the area is revisited). Odometry edges are rebuilt from the surviving
+        poses at the next solve, so no relative measurement goes stale."""
+        n = len(self.keyframes)
+        keep = [i for i in range(n) if i % 2 == 0 or i == n - 1]
+        remap = {old: new for new, old in enumerate(keep)}
+        n_edges_before = len(self.loop_edges)
+        self.keyframes = [self.keyframes[i] for i in keep]
+        self.loop_edges = [
+            (remap[a], remap[b], Z)
+            for (a, b, Z) in self.loop_edges
+            if a in remap and b in remap
+        ]
+        self.decimations += 1
+        logger.warning(
+            "LoopCloser at node capacity (%d): decimated to %d keyframes "
+            "(%d/%d loop edges kept, decimation #%d)",
+            n, len(self.keyframes), len(self.loop_edges), n_edges_before, self.decimations,
+        )
 
     def _solve_graph(self) -> Optional[np.ndarray]:
         K = self.cfg.max_keyframes
