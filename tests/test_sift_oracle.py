@@ -1,0 +1,217 @@
+"""Independent SIFT validation (VERDICT r1 item 6).
+
+Round-1 tests validated the fast path against this repo's own exact path —
+a shared bug would pass both. Here the detector/descriptor are checked
+against (a) analytic scale-space facts and (b) OpenCV's SIFT (an external
+Lowe implementation available in this environment), plus a quantified
+comparison of single- vs multi-peak orientations (the MATLAB
+detectSIFTFeatures >=80% duplicate rule, VO.m:79-84).
+"""
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vo_tpu.config import MatcherConfig, SIFTConfig
+from vo_tpu.frontend.match import match
+from vo_tpu.frontend.sift import detect_and_describe
+
+
+def _texture(h, w, seed=0, n_splats=180):
+    """Smooth random splat texture with structure at several scales."""
+    rng = np.random.default_rng(seed)
+    img = np.zeros((h, w), np.float32)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    for _ in range(n_splats):
+        cy, cx = rng.uniform(5, h - 5), rng.uniform(5, w - 5)
+        s = rng.uniform(1.5, 6.0)
+        a = rng.uniform(0.2, 0.9) * rng.choice([-1.0, 1.0])
+        img += a * np.exp(-((ys - cy) ** 2 + (xs - cx) ** 2) / (2 * s * s))
+    img -= img.min()
+    img /= img.max() + 1e-9
+    return img
+
+
+def _detect(img, cfg):
+    return detect_and_describe(jnp.asarray(img, jnp.float32), cfg)
+
+
+def _valid(f):
+    m = np.asarray(f.mask)
+    return (
+        np.asarray(f.xy)[m],
+        np.asarray(f.scale)[m],
+        np.asarray(f.orientation)[m],
+        np.asarray(f.desc)[m],
+        np.asarray(f.response)[m],
+    )
+
+
+class TestAnalyticOracles:
+    def test_blob_scale_and_location(self):
+        """A Gaussian blob of scale sigma_b is THE textbook scale-space datum:
+        the DoG response across scale peaks at sigma ~ sigma_b, at the blob
+        center. The detector must recover both (independent of any SIFT
+        implementation, ours or anyone's)."""
+        h = w = 96
+        sigma_b = 3.0
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        img = np.exp(-((ys - h / 2) ** 2 + (xs - w / 2) ** 2) / (2 * sigma_b**2))
+        cfg = SIFTConfig(max_keypoints=32, n_octaves=3, fast_descriptor=False)
+        xy, scale, _, _, resp = _valid(_detect(img, cfg))
+        assert xy.shape[0] >= 1, "blob not detected"
+        # Strongest detection sits on the blob center...
+        k = int(np.argmax(resp))
+        assert np.hypot(xy[k, 0] - w / 2, xy[k, 1] - h / 2) < 1.5, xy[k]
+        # ...at a scale close to sigma_b.
+        assert 0.55 * sigma_b < scale[k] < 1.8 * sigma_b, scale[k]
+
+    def test_blob_scale_tracks_blob_size(self):
+        """Doubling the blob doubles the detected scale (scale covariance).
+
+        Blob sizes sit inside the detectable band: without upsampling the
+        first inner DoG level is sigma ~2.0, so a sigma_b=2 blob peaks below
+        the stack and is (correctly) not a scale-space extremum."""
+        h = w = 160
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        cfg = SIFTConfig(max_keypoints=32, n_octaves=4, fast_descriptor=False)
+        detected = []
+        for sigma_b in (3.0, 6.0):
+            img = np.exp(-((ys - h / 2) ** 2 + (xs - w / 2) ** 2) / (2 * sigma_b**2))
+            xy, scale, _, _, resp = _valid(_detect(img, cfg))
+            assert xy.shape[0] >= 1
+            detected.append(scale[int(np.argmax(resp))])
+        ratio = detected[1] / detected[0]
+        assert 1.5 < ratio < 2.7, (detected, ratio)
+
+    def test_descriptor_invariance_under_2x_rescale(self):
+        """Descriptors of the same physical point at 1x and 2x image scale
+        must agree (scale invariance) — resampling done by OpenCV, not us."""
+        img = _texture(128, 192, seed=3)
+        big = cv2.resize(img, (384, 256), interpolation=cv2.INTER_LINEAR)
+        cfg = SIFTConfig(max_keypoints=256, n_octaves=3, fast_descriptor=False)
+        cfg_big = SIFTConfig(max_keypoints=256, n_octaves=4, fast_descriptor=False)
+        xy1, sc1, _, d1, r1 = _valid(_detect(img, cfg))
+        xy2, sc2, _, d2, _ = _valid(_detect(big, cfg_big))
+        order = np.argsort(-r1)[:40]
+        dots, found = [], 0
+        for k in order:
+            d = np.linalg.norm(xy2 - 2.0 * xy1[k], axis=1)
+            j = int(np.argmin(d))
+            if d[j] < 3.0 and 1.4 < sc2[j] / sc1[k] < 2.8:
+                found += 1
+                dots.append(float(d1[k] @ d2[j]))
+        assert found >= 8, f"only {found} keypoints re-found at 2x"
+        assert np.median(dots) > 0.75, (np.median(dots), found)
+
+
+class TestOpenCVCrossCheck:
+    """OpenCV SIFT as an external oracle on the production (fast) path."""
+
+    @pytest.fixture(scope="class")
+    def views(self):
+        """Two views: a texture and its 20-deg rotation (known overlap)."""
+        img = _texture(240, 320, seed=7, n_splats=350)
+        M = cv2.getRotationMatrix2D((160, 120), 20.0, 1.0)
+        rot = cv2.warpAffine(img, M, (320, 240), flags=cv2.INTER_LINEAR)
+        return img, rot, M
+
+    def _our_matches(self, a, b, cfg):
+        fa = _detect(a, cfg)
+        fb = _detect(b, cfg)
+        m = match(fa.desc, fa.mask, fb.desc, fb.mask, MatcherConfig(), None)
+        km = np.asarray(m.mask)
+        axy = np.asarray(fa.xy)[np.asarray(m.a_idx)[km]]
+        bxy = np.asarray(fb.xy)[np.asarray(m.b_idx)[km]]
+        return axy, bxy
+
+    @staticmethod
+    def _inlier_count(axy, bxy, M, tol=3.0):
+        if axy.shape[0] == 0:
+            return 0
+        pred = axy @ M[:, :2].T + M[:, 2]
+        return int((np.linalg.norm(pred - bxy, axis=1) < tol).sum())
+
+    def _cv2_matches(self, a, b):
+        sift = cv2.SIFT_create(nfeatures=512)
+        u8 = lambda x: (np.clip(x, 0, 1) * 255).astype(np.uint8)
+        ka, da = sift.detectAndCompute(u8(a), None)
+        kb, db = sift.detectAndCompute(u8(b), None)
+        bf = cv2.BFMatcher()
+        good = []
+        for mm in bf.knnMatch(da, db, k=2):
+            if len(mm) == 2 and mm[0].distance < 0.6 * mm[1].distance:
+                good.append(mm[0])
+        axy = np.array([ka[g.queryIdx].pt for g in good], np.float32).reshape(-1, 2)
+        bxy = np.array([kb[g.trainIdx].pt for g in good], np.float32).reshape(-1, 2)
+        return axy, bxy
+
+    def test_geometric_inlier_rate_vs_opencv(self, views):
+        """Both matchers' output is scored by the KNOWN warp: our verified-
+        correct match count must be in the same league as OpenCV's."""
+        img, rot, M = views
+        cfg = SIFTConfig(max_keypoints=512, n_octaves=3)  # production fast path
+        ours = self._inlier_count(*self._our_matches(img, rot, cfg), M)
+        cv = self._inlier_count(*self._cv2_matches(img, rot), M)
+        assert ours >= 25, f"ours={ours} too few verified matches"
+        assert ours >= 0.4 * cv, f"ours={ours} vs opencv={cv}"
+
+    def test_match_precision_vs_known_warp(self, views):
+        """>=70% of our accepted matches must satisfy the true warp — i.e.
+        the matcher is precise, not just abundant."""
+        img, rot, M = views
+        cfg = SIFTConfig(max_keypoints=512, n_octaves=3)
+        axy, bxy = self._our_matches(img, rot, cfg)
+        assert axy.shape[0] >= 25
+        inl = self._inlier_count(axy, bxy, M)
+        assert inl / axy.shape[0] >= 0.7, (inl, axy.shape[0])
+
+    def test_detector_agreement_with_opencv(self, views):
+        """A healthy fraction of OpenCV's strongest keypoints must have one
+        of ours within 2.5 px (same extrema, independent implementations)."""
+        img, _, _ = views
+        cfg = SIFTConfig(max_keypoints=512, n_octaves=3)
+        xy, _, _, _, _ = _valid(_detect(img, cfg))
+        sift = cv2.SIFT_create(nfeatures=200)
+        kps = sift.detect((np.clip(img, 0, 1) * 255).astype(np.uint8), None)
+        kps = sorted(kps, key=lambda k: -k.response)[:100]
+        hit = sum(
+            1 for k in kps if np.min(np.linalg.norm(xy - np.asarray(k.pt), axis=1)) < 2.5
+        )
+        assert hit / len(kps) >= 0.5, f"{hit}/{len(kps)} OpenCV keypoints matched"
+
+
+class TestMultiOrientation:
+    def test_duplicates_share_position_distinct_angles(self):
+        img = _texture(160, 240, seed=11, n_splats=250)
+        cfg = SIFTConfig(max_keypoints=384, n_octaves=3, n_orientations=2)
+        xy, _, ori, _, _ = _valid(_detect(img, cfg))
+        # Find exact-duplicate positions with different orientations.
+        dup = 0
+        order = np.lexsort((xy[:, 1], xy[:, 0]))
+        sx = xy[order]
+        so = ori[order]
+        for i in range(1, sx.shape[0]):
+            if np.allclose(sx[i], sx[i - 1], atol=1e-4) and abs(so[i] - so[i - 1]) > 0.3:
+                dup += 1
+        assert dup >= 3, f"only {dup} multi-orientation duplicates emitted"
+
+    def test_match_count_single_vs_multi(self):
+        """Quantifies the single-orientation simplification (VERDICT r1):
+        multi-peak must not lose matches, and the delta is reported."""
+        img = _texture(240, 320, seed=13, n_splats=350)
+        M = cv2.getRotationMatrix2D((160, 120), 25.0, 1.0)
+        rot = cv2.warpAffine(img, M, (320, 240), flags=cv2.INTER_LINEAR)
+        counts = {}
+        for n_ori in (1, 2):
+            cfg = SIFTConfig(max_keypoints=512, n_octaves=3, n_orientations=n_ori)
+            fa = _detect(img, cfg)
+            fb = _detect(rot, cfg)
+            m = match(fa.desc, fa.mask, fb.desc, fb.mask, MatcherConfig(), None)
+            km = np.asarray(m.mask)
+            axy = np.asarray(fa.xy)[np.asarray(m.a_idx)[km]]
+            bxy = np.asarray(fb.xy)[np.asarray(m.b_idx)[km]]
+            pred = axy @ M[:, :2].T + M[:, 2]
+            counts[n_ori] = int((np.linalg.norm(pred - bxy, axis=1) < 3.0).sum())
+        print(f"verified matches: single-ori={counts[1]} multi-ori={counts[2]}")
+        assert counts[2] >= 0.9 * counts[1], counts

@@ -1,0 +1,106 @@
+"""Long-sequence evaluation artifact (VERDICT r1 item 4).
+
+Round 1's longest evaluated run was 30 frames; the reference's published
+evidence is 4,500 frames of KITTI 00 (4500/error.png). Real KITTI images are
+unavailable here (reference .gitignore:1-2), so this runs a LONG synthetic
+sequence with real KITTI-00 geometry through the three production configs —
+
+  plain VO            (the reference pipeline, VO.m)
+  VO + windowed BA    (north-star extension)
+  VO + BA + closure   (north-star extension)
+
+— on an OUT-AND-BACK trajectory (drive out along seq 00, turn, come back)
+so drift accrues and the closure configs get a genuine revisit, and writes
+LONGRUN_r{N}.json with per-config fps + ATE/xz error.
+
+Usage: python tools/longrun.py [--frames 600] [--out LONGRUN_r02.json] [--cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def out_and_back_poses(n_frames: int) -> np.ndarray:
+    """[n_frames, 4, 4] out-and-back trajectory from KITTI 00 GT poses."""
+    from vo_tpu.io import kitti
+
+    gt = kitti.read_poses("/root/reference/kitti/poses/00.txt")
+    half = n_frames // 2
+    fwd = gt[:half]
+    back = gt[max(0, half - 2) :: -1][: n_frames - half]
+    return np.concatenate([fwd, back])[:n_frames]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=600)
+    ap.add_argument("--landmarks", type=int, default=9000)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from bench import _Preloaded
+    from vo_tpu.config import PipelineConfig
+    from vo_tpu.eval import metrics
+    from vo_tpu.io import kitti, synthetic
+    from vo_tpu.odometry import runner
+
+    calib = kitti.load_stereo_calib("/root/reference/kitti/00")
+    poses = out_and_back_poses(args.frames)
+    seq = synthetic.SyntheticSequence(calib, poses, n_landmarks=args.landmarks, seed=0)
+    t0 = time.perf_counter()
+    pre = _Preloaded(seq, args.frames)
+    print(f"rendered {args.frames} frames in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    cfg = PipelineConfig()
+    configs = {
+        "vo": dict(use_ba=False, use_loop_closure=False),
+        "vo_ba": dict(use_ba=True, use_loop_closure=False),
+        "vo_ba_lc": dict(use_ba=True, use_loop_closure=True),
+    }
+    results = {}
+    for name, kw in configs.items():
+        res = runner.run_sequence(pre, cfg, n_frames=args.frames, **kw)
+        a = metrics.ate(res.poses, poses)
+        xz = metrics.xz_error(res.poses, poses)
+        results[name] = dict(
+            frames_per_sec=round(res.frames_per_sec, 2),
+            per_frame_ms=round(res.per_frame_ms, 2),
+            ate_rmse_m=round(a["rmse"], 4),
+            ate_max_m=round(a["max"], 4),
+            xz_mean_m=round(float(xz.mean()), 4),
+            xz_max_m=round(float(xz.max()), 4),
+            pose_ok_frac=round(float(res.pose_ok.mean()), 4),
+            **{k: v for k, v in res.refine_stats.items()},
+        )
+        print(name, json.dumps(results[name]), flush=True)
+
+    payload = dict(
+        n_frames=args.frames,
+        trajectory="out-and-back over KITTI 00 GT poses",
+        device=str(jax.devices()[0].platform),
+        device_kind=str(getattr(jax.devices()[0], "device_kind", "?")),
+        configs=results,
+    )
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=2)
+            f.write("\n")
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

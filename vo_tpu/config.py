@@ -30,6 +30,10 @@ class SIFTConfig:
     max_keypoints: int = 2048  # static capacity per image (XLA needs fixed shapes)
     descriptor_patch: int = 16  # 16x16 gradient patch -> 4x4x8 histogram
     ori_bins: int = 36
+    # 2 = Lowe/MATLAB multi-peak orientations (duplicate keypoint per
+    # histogram peak >= 80% of max); 1 = dominant peak only. The duplicate
+    # set shares the max_keypoints capacity.
+    n_orientations: int = 1
     upsample: bool = False  # MATLAB does not upsample by default
     # TPU fast path: dense 8-bin orientation maps + row-gather descriptors
     # (frontend.dense_desc) instead of per-keypoint scalar-gather sampling.

@@ -38,9 +38,25 @@ def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
 
 
 def init_distributed(coordinator: str | None = None, num_processes: int | None = None, process_id: int | None = None):
-    """Multi-host bring-up (jax.distributed). No-op for single-process runs."""
+    """Multi-host bring-up (jax.distributed). No-op for single-process runs.
+
+    On the CPU backend cross-process collectives need an explicit transport:
+    gloo is selected automatically (the TPU backend uses ICI/DCN natively).
+    Exercised for real by ``python -m vo_tpu.dist.multihost_smoke`` and
+    tests/test_multihost.py (two actual processes).
+    """
     if num_processes is None or num_processes <= 1:
         return
+    # NB: must not touch jax.default_backend() here — that would initialize
+    # the backends before jax.distributed.initialize. Decide from config/env.
+    import os
+
+    platforms = str(jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", ""))
+    if "cpu" in platforms:
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass  # older jax: single transport only
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,

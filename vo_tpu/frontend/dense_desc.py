@@ -158,7 +158,7 @@ def _col(v):
     return v[:, None] if getattr(v, "ndim", 0) == 1 else v
 
 
-def orientations(
+def orientation_hists(
     maps_flat: jnp.ndarray,
     row_base: jnp.ndarray,
     yf: jnp.ndarray,
@@ -167,7 +167,7 @@ def orientations(
     H2,
     W2,
 ) -> jnp.ndarray:
-    """Dominant orientation per keypoint from a widened histogram window.
+    """Smoothed circular orientation histogram per keypoint, [K, 8].
 
     The maps are blurred at the DESCRIPTOR-cell scale (~1.5 sigma); Lowe's
     orientation window is effectively ~2x wider, and a single row sample is
@@ -192,9 +192,21 @@ def orientations(
     taps = _bilinear_rows(maps_flat, _col(row_base), ys, xs, _col(H2), _col(W2))  # [K, 9, 8]
     hist = jnp.einsum("p,kpb->kb", w, taps)  # [K, 8]
     # Circular smoothing (the maps are spatially but not angularly smoothed).
-    hist = (jnp.roll(hist, 1, axis=-1) + hist + jnp.roll(hist, -1, axis=-1)) / 3.0
+    return (jnp.roll(hist, 1, axis=-1) + hist + jnp.roll(hist, -1, axis=-1)) / 3.0
+
+
+def orientations(
+    maps_flat: jnp.ndarray,
+    row_base: jnp.ndarray,
+    yf: jnp.ndarray,
+    xf: jnp.ndarray,
+    sigma_rel: jnp.ndarray,
+    H2,
+    W2,
+) -> jnp.ndarray:
+    """Dominant orientation per keypoint (argmax peak of orientation_hists)."""
+    hist = orientation_hists(maps_flat, row_base, yf, xf, sigma_rel, H2, W2)
     peak = jnp.argmax(hist, axis=-1)  # [K]
-    idx = jnp.arange(_NB)
     hc = jnp.take_along_axis(hist, peak[:, None], axis=-1)[:, 0]
     hl = jnp.take_along_axis(hist, ((peak - 1) % _NB)[:, None], axis=-1)[:, 0]
     hr = jnp.take_along_axis(hist, ((peak + 1) % _NB)[:, None], axis=-1)[:, 0]

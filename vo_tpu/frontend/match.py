@@ -24,7 +24,10 @@ from ..utils.padding import compact_indices
 
 # Max possible SSD between two L2-normalized nonnegative SIFT descriptors.
 _MAX_SSD = 2.0
-_BIG = jnp.float32(1e30)
+# Plain python float: a module-level jnp scalar would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize ordering on
+# multi-host bring-up (dist.multihost_smoke).
+_BIG = 1e30
 
 
 class Matches(NamedTuple):

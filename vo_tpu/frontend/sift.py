@@ -17,9 +17,13 @@ TPU-first design (NOT a translation):
   the flattened per-octave Gaussian/gradient stacks.
 - Everything jits; per-image work is a single XLA program per octave count.
 
-Known simplification vs Lowe/MATLAB: only the dominant orientation per
-keypoint is kept (MATLAB may emit multiple keypoints for peaks >= 80% of the
-max). This loses a few duplicate features but keeps shapes static.
+Multi-orientation (MATLAB emits a duplicate keypoint per histogram peak
+>= 80% of the max): ``SIFTConfig.n_orientations=2`` replicates that with
+static shapes — candidates are duplicated with their secondary peak and the
+2K set is compacted back to capacity by response before the descriptor
+stage (so the extra cost is only in keypoints that actually survive).
+The default 1 keeps the dominant peak only; tests/test_sift_oracle.py
+quantifies the match-count delta between the two.
 """
 from __future__ import annotations
 
@@ -207,8 +211,8 @@ def _refine_one(dog_flat, lvl, y, x, H: int, W: int, cfg: SIFTConfig):
     return offset[0], offset[1], offset[2], contrast, ok
 
 
-def _orientation_one(gx_flat, gy_flat, lvl, yc, xc, sigma_rel, H, W, cfg: SIFTConfig, row0=0):
-    """Dominant gradient orientation of one keypoint (vmapped). Returns radians."""
+def _orientation_hist_one(gx_flat, gy_flat, lvl, yc, xc, sigma_rel, H, W, cfg: SIFTConfig, row0=0):
+    """Smoothed circular orientation histogram of one keypoint (vmapped), [ori_bins]."""
     R = _ORI_R
     d = jnp.arange(-R, R + 1, dtype=jnp.float32)
     oy, ox = jnp.meshgrid(d, d, indexing="ij")
@@ -234,14 +238,56 @@ def _orientation_one(gx_flat, gy_flat, lvl, yc, xc, sigma_rel, H, W, cfg: SIFTCo
     # Circular smoothing (two box passes).
     for _ in range(2):
         hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
-    peak = jnp.argmax(hist)
-    hl = hist[(peak - 1) % nb]
-    hc = hist[peak]
-    hr = hist[(peak + 1) % nb]
+    return hist
+
+
+def _interp_peak(hist: jnp.ndarray, peak: jnp.ndarray, nb: int) -> jnp.ndarray:
+    """Parabolic sub-bin interpolation of a histogram peak -> radians.
+
+    hist: [..., nb]; peak: integer bins, either hist's batch shape (one peak
+    per histogram) or with one extra trailing axis (several peaks per
+    histogram). Shared by the exact and dense paths (bin->angle convention:
+    bin centers at (i + 0.5)/nb of the circle).
+    """
+    squeeze = peak.ndim == hist.ndim - 1
+    p = peak[..., None] if squeeze else peak
+    hc = jnp.take_along_axis(hist, p % nb, axis=-1)
+    hl = jnp.take_along_axis(hist, (p - 1) % nb, axis=-1)
+    hr = jnp.take_along_axis(hist, (p + 1) % nb, axis=-1)
     denom = hl - 2 * hc + hr
     interp = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hl - hr) / denom, 0.0)
-    bin_f = peak.astype(jnp.float32) + interp
-    return (bin_f / nb - 0.5 + 1.0 / (2 * nb)) * 2 * jnp.pi
+    bin_f = p.astype(jnp.float32) + interp
+    theta = (bin_f / nb - 0.5 + 1.0 / (2 * nb)) * 2 * jnp.pi
+    return theta[..., 0] if squeeze else theta
+
+
+def _orientation_one(gx_flat, gy_flat, lvl, yc, xc, sigma_rel, H, W, cfg: SIFTConfig, row0=0):
+    """Dominant gradient orientation of one keypoint (vmapped). Returns radians."""
+    hist = _orientation_hist_one(gx_flat, gy_flat, lvl, yc, xc, sigma_rel, H, W, cfg, row0)
+    peak = jnp.argmax(hist)
+    return _interp_peak(hist, peak, cfg.ori_bins)
+
+
+def _two_peaks(hist: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(theta1, theta2, has2) from smoothed circular histograms [K, nb].
+
+    Lowe/MATLAB multi-orientation rule (detectSIFTFeatures emits a duplicate
+    keypoint per histogram peak >= 80% of the max): peaks are circular local
+    maxima; the strongest is the primary, the runner-up qualifies iff it
+    clears 0.8x the primary.
+    """
+    nb = hist.shape[-1]
+    hl = jnp.roll(hist, 1, axis=-1)
+    hr = jnp.roll(hist, -1, axis=-1)
+    is_peak = (hist >= hl) & (hist > hr)
+    pk = jnp.where(is_peak, hist, -1e30)
+    vals, bins = jax.lax.top_k(pk, 2)  # [K, 2]
+    theta = _interp_peak(hist, bins, nb)  # [K, 2]
+    # Degenerate (flat) histograms have no strict peak: fall back to argmax.
+    no_peak = vals[:, 0] <= -1e29
+    theta1 = jnp.where(no_peak, _interp_peak(hist, jnp.argmax(hist, axis=-1), nb), theta[:, 0])
+    has2 = (vals[:, 1] > -1e29) & (vals[:, 1] >= 0.8 * vals[:, 0]) & ~no_peak
+    return theta1, theta[:, 1], has2
 
 
 def _descriptor_one(gx_flat, gy_flat, lvl, yc, xc, sigma_rel, theta, H, W, row0=0):
@@ -356,12 +402,8 @@ def detect_and_describe(img: jnp.ndarray, cfg: SIFTConfig) -> Features:
     sig, _ = pyr_mod.sigma_schedule(cfg)
     cand = _detect_candidates(pyr, cfg)
     sel, _ = _select_top(cand, cfg.max_keypoints)
-    oct_scale = jnp.take(
-        jnp.asarray([2.0**o for o in range(cfg.n_octaves)], jnp.float32), sel.octave
-    )
-    xy = jnp.stack([sel.xf, sel.yf], axis=-1) * oct_scale[:, None]
-    sigma_abs = sel.sigma_rel * oct_scale
 
+    # --- orientation stage (histograms first so multi-peak can duplicate) ---
     if cfg.fast_descriptor:
         from . import dense_desc
 
@@ -381,15 +423,17 @@ def detect_and_describe(img: jnp.ndarray, cfg: SIFTConfig) -> Features:
             H2s.append(H2)
             W2s.append(W2)
         maps_flat = jnp.concatenate(rows, axis=0)
-        lvl0 = jnp.clip(sel.lvl - 1, 0, s - 1)
-        H2_k = jnp.take(jnp.asarray(H2s, jnp.int32), sel.octave)
-        W2_k = jnp.take(jnp.asarray(W2s, jnp.int32), sel.octave)
-        row_base = jnp.take(jnp.asarray(oct_off, jnp.int32), sel.octave) + lvl0 * H2_k * W2_k
-        ori = dense_desc.orientations(
+
+        def fast_derived(sl):
+            lvl0 = jnp.clip(sl.lvl - 1, 0, s - 1)
+            H2_k = jnp.take(jnp.asarray(H2s, jnp.int32), sl.octave)
+            W2_k = jnp.take(jnp.asarray(W2s, jnp.int32), sl.octave)
+            row_base = jnp.take(jnp.asarray(oct_off, jnp.int32), sl.octave) + lvl0 * H2_k * W2_k
+            return row_base, H2_k, W2_k
+
+        row_base, H2_k, W2_k = fast_derived(sel)
+        hist = dense_desc.orientation_hists(
             maps_flat, row_base, sel.yf, sel.xf, sel.sigma_rel, H2_k, W2_k
-        )
-        desc = dense_desc.descriptors(
-            maps_flat, row_base, sel.yf, sel.xf, sel.sigma_rel, ori, H2_k, W2_k
         )
     else:
         # Lowe-exact oracle path: per-keypoint scalar-gather sampling from a
@@ -407,20 +451,57 @@ def detect_and_describe(img: jnp.ndarray, cfg: SIFTConfig) -> Features:
             GWs.append(G.shape[2])
         gx_flat = jnp.concatenate(gx_rows)
         gy_flat = jnp.concatenate(gy_rows)
-        GH_k = jnp.take(jnp.asarray(GHs, jnp.int32), sel.octave)
-        GW_k = jnp.take(jnp.asarray(GWs, jnp.int32), sel.octave)
-        base_k = jnp.take(jnp.asarray(oct_off, jnp.int32), sel.octave)
-        ori = jax.vmap(
-            lambda b, l, y, x, s_, gh, gw: _orientation_one(
+
+        def exact_derived(sl):
+            GH_k = jnp.take(jnp.asarray(GHs, jnp.int32), sl.octave)
+            GW_k = jnp.take(jnp.asarray(GWs, jnp.int32), sl.octave)
+            base_k = jnp.take(jnp.asarray(oct_off, jnp.int32), sl.octave)
+            return base_k, GH_k, GW_k
+
+        base_k, GH_k, GW_k = exact_derived(sel)
+        hist = jax.vmap(
+            lambda b, l, y, x, s_, gh, gw: _orientation_hist_one(
                 gx_flat, gy_flat, l, y, x, s_, gh, gw, cfg, row0=b
             )
         )(base_k, sel.lvl, sel.yf, sel.xf, sel.sigma_rel, GH_k, GW_k)
+
+    # --- multi-peak duplication (Lowe/MATLAB >=80% rule), static shapes ---
+    if cfg.n_orientations >= 2:
+        th1, th2, has2 = _two_peaks(hist)
+        ori_all = jnp.concatenate([th1, th2])
+        valid_all = jnp.concatenate([sel.valid, sel.valid & has2])
+        # Secondaries rank a hair below their primary so, at capacity, a
+        # duplicate never evicts a stronger keypoint's primary orientation.
+        resp_all = jnp.concatenate([sel.response, sel.response * 0.99999])
+        score = jnp.where(valid_all, resp_all, -1.0)
+        _, idx = jax.lax.top_k(score, cfg.max_keypoints)
+        sel = jax.tree.map(
+            lambda a: jnp.take(jnp.concatenate([a, a], axis=0), idx, axis=0), sel
+        )._replace(valid=jnp.take(score, idx) > 0)
+        ori = jnp.take(ori_all, idx)
+    else:
+        # Single dominant peak (identical to the pre-multi-peak behavior).
+        ori = _interp_peak(hist, jnp.argmax(hist, axis=-1), hist.shape[-1])
+
+    # --- descriptor stage on the final keypoint set ---
+    if cfg.fast_descriptor:
+        row_base, H2_k, W2_k = fast_derived(sel)
+        desc = dense_desc.descriptors(
+            maps_flat, row_base, sel.yf, sel.xf, sel.sigma_rel, ori, H2_k, W2_k
+        )
+    else:
+        base_k, GH_k, GW_k = exact_derived(sel)
         desc = jax.vmap(
             lambda b, l, y, x, s_, t, gh, gw: _descriptor_one(
                 gx_flat, gy_flat, l, y, x, s_, t, gh, gw, row0=b
             )
         )(base_k, sel.lvl, sel.yf, sel.xf, sel.sigma_rel, ori, GH_k, GW_k)
 
+    oct_scale = jnp.take(
+        jnp.asarray([2.0**o for o in range(cfg.n_octaves)], jnp.float32), sel.octave
+    )
+    xy = jnp.stack([sel.xf, sel.yf], axis=-1) * oct_scale[:, None]
+    sigma_abs = sel.sigma_rel * oct_scale
     return Features(
         xy=xy,
         scale=sigma_abs,
