@@ -33,6 +33,11 @@ def _add_run(sub):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-keypoints", type=int, default=None)
     p.add_argument("--hypotheses", type=int, default=None)
+    p.add_argument(
+        "--multi-orientation",
+        action="store_true",
+        help="emit duplicate keypoints for secondary orientation peaks (MATLAB >=80%% rule)",
+    )
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--ba", action="store_true", help="enable sliding-window bundle adjustment")
     p.add_argument("--loop-closure", action="store_true", help="enable loop detection + pose-graph correction")
@@ -47,6 +52,8 @@ def _build_cfg(args):
     cfg = PipelineConfig(view_3d=not args.no_view_3d)
     if args.max_keypoints:
         cfg = dataclasses.replace(cfg, sift=dataclasses.replace(cfg.sift, max_keypoints=args.max_keypoints))
+    if args.multi_orientation:
+        cfg = dataclasses.replace(cfg, sift=dataclasses.replace(cfg.sift, n_orientations=2))
     if args.hypotheses:
         cfg = dataclasses.replace(cfg, ransac=dataclasses.replace(cfg.ransac, n_hypotheses=args.hypotheses))
     return cfg

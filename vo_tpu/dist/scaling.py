@@ -93,6 +93,15 @@ def run(device_counts=(1, 2, 4, 8), frame_batch=8, image_size=(128, 256), n_hyp=
 
 
 def main():
+    # The environment's sitecustomize force-registers the TPU platform and
+    # overrides JAX_PLATFORMS; pin the backend AFTER import or this harness
+    # silently grabs the (single) real chip instead of the virtual mesh.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     for row in run():
         print(json.dumps(row))
 

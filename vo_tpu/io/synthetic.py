@@ -151,6 +151,12 @@ class SyntheticSequence:
         self.gt_poses = gt_poses
         self.times = times
         self.H, self.W = calib.image_size
+        # Host copies of the projection matrices, fetched ONCE: calib fields
+        # are jnp arrays, and an np.asarray(P) inside frame() would cost a
+        # device->host round trip per rendered image (minutes of pure tunnel
+        # latency when preloading a long sequence on the remote TPU).
+        self._P1 = np.asarray(calib.P1, dtype=np.float64)
+        self._P2 = np.asarray(calib.P2, dtype=np.float64)
         rng = np.random.default_rng(seed)
         self.landmarks = scatter_landmarks(rng, gt_poses, n_landmarks)
         self.patch = patch
@@ -198,8 +204,8 @@ class SyntheticSequence:
     def frame(self, i: int):
         pose = self.gt_poses[i]
         pts_cam = _w2c_apply(pose, self.landmarks)
-        left = self._render(pts_cam, np.asarray(self.calib.P1, dtype=np.float64))
-        right = self._render(pts_cam, np.asarray(self.calib.P2, dtype=np.float64))
+        left = self._render(pts_cam, self._P1)
+        right = self._render(pts_cam, self._P2)
         return left, right
 
     def __iter__(self):
