@@ -55,6 +55,12 @@ def _residuals_and_jac(T, g: PoseGraph):
 
 def optimize(g: PoseGraph, iters: int = 10, damping: float = 1e-6) -> PoseGraphResult:
     """Fixed-iteration damped GN. First keyframe anchored (gauge)."""
+    with jax.default_matmul_precision("float32"):
+        return _optimize_impl(g, iters, damping)
+
+
+def _optimize_impl(g: PoseGraph, iters: int, damping: float) -> PoseGraphResult:
+    # (full-precision context set by optimize: 6x6/SE3 contractions only)
     K = g.T_c2w.shape[0]
     w = jnp.where(g.edge_mask, g.edge_weight, 0.0)
 

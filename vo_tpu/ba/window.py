@@ -225,6 +225,15 @@ def solve_window(
 ) -> BAResult:
     """LM-damped GN over the window. Jittable; shard the M axis + pass
     ``axis_name`` to run the identical code distributed (dist/ba_sharded)."""
+    with jax.default_matmul_precision("float32"):
+        return _solve_window_impl(prob, calib, cfg, axis_name)
+
+
+def _solve_window_impl(
+    prob: BAProblem, calib: StereoCalib, cfg: BAConfig, axis_name: str | None = None
+) -> BAResult:
+    # (full-precision context set by solve_window: the Jacobian/Schur
+    # contractions are small but bf16-sensitive on world-scale coordinates)
     T_w2c0 = jax.vmap(se3.inv)(prob.T_c2w)
     cost0 = _cost_only(T_w2c0, prob.X, prob, calib, cfg, axis_name)
 

@@ -24,6 +24,13 @@ def optimize_sharded(
     axis: str = "model",
 ) -> pg.PoseGraphResult:
     """Same contract as ba.pose_graph.optimize; E must divide mesh.shape[axis]."""
+    with jax.default_matmul_precision("float32"):
+        return _optimize_sharded_impl(g, mesh, iters, damping, axis)
+
+
+def _optimize_sharded_impl(g, mesh, iters, damping, axis) -> pg.PoseGraphResult:
+    # (full f32 precision context set by optimize_sharded, matching the
+    # single-device solver so sharded == single stays bit-comparable)
     E = g.edge_i.shape[0]
     n = mesh.shape[axis]
     if E % n != 0:

@@ -14,7 +14,12 @@ All functions broadcast over leading batch dimensions.
 from __future__ import annotations
 
 import jax
+import jax
 import jax.numpy as jnp
+
+# All operands here are <=4x4: full f32 MXU precision is free, and pose
+# chaining (VO.m:130) degrades visibly at the TPU default bf16 passes.
+_PREC = jax.lax.Precision.HIGHEST
 
 
 def identity(dtype=jnp.float32) -> jnp.ndarray:
@@ -43,7 +48,7 @@ def translation(T: jnp.ndarray) -> jnp.ndarray:
 
 def compose(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """A then-apply B in A's frame: returns A @ B (matches VO.m:130 pose.A * rel_pose.A)."""
-    return jnp.matmul(A, B)
+    return jnp.matmul(A, B, precision=_PREC)
 
 
 def inv(T: jnp.ndarray) -> jnp.ndarray:
@@ -51,14 +56,14 @@ def inv(T: jnp.ndarray) -> jnp.ndarray:
     R = rotation(T)
     t = translation(T)
     Rt = jnp.swapaxes(R, -1, -2)
-    return from_rt(Rt, -jnp.einsum("...ij,...j->...i", Rt, t))
+    return from_rt(Rt, -jnp.einsum("...ij,...j->...i", Rt, t, precision=_PREC))
 
 
 def apply(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Transform [..., N, 3] points by [..., 4, 4] (x_out = R x + t)."""
     R = rotation(T)
     t = translation(T)
-    return jnp.einsum("...ij,...nj->...ni", R, pts) + t[..., None, :]
+    return jnp.einsum("...ij,...nj->...ni", R, pts, precision=_PREC) + t[..., None, :]
 
 
 def hat(w: jnp.ndarray) -> jnp.ndarray:
@@ -84,7 +89,7 @@ def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     W = hat(w)
-    W2 = jnp.matmul(W, W)
+    W2 = jnp.matmul(W, W, precision=_PREC)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a[..., None, None] * W + b[..., None, None] * W2
 
@@ -133,12 +138,12 @@ def exp(xi: jnp.ndarray) -> jnp.ndarray:
     small = theta2 < 1e-8
     R = exp_so3(w)
     W = hat(w)
-    W2 = jnp.matmul(W, W)
+    W2 = jnp.matmul(W, W, precision=_PREC)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
     V = eye + b[..., None, None] * W + c[..., None, None] * W2
-    t = jnp.einsum("...ij,...j->...i", V, v)
+    t = jnp.einsum("...ij,...j->...i", V, v, precision=_PREC)
     return from_rt(R, t)
 
 
@@ -151,7 +156,7 @@ def log(T: jnp.ndarray) -> jnp.ndarray:
     theta = jnp.sqrt(theta2 + 1e-32)
     small = theta2 < 1e-8
     W = hat(w)
-    W2 = jnp.matmul(W, W)
+    W2 = jnp.matmul(W, W, precision=_PREC)
     # V^{-1} = I - W/2 + (1/theta^2)(1 - theta sin/(2(1-cos))) W^2
     coef = jnp.where(
         small,
@@ -160,16 +165,16 @@ def log(T: jnp.ndarray) -> jnp.ndarray:
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
     Vinv = eye - 0.5 * W + coef[..., None, None] * W2
-    v = jnp.einsum("...ij,...j->...i", Vinv, t)
+    v = jnp.einsum("...ij,...j->...i", Vinv, t, precision=_PREC)
     return jnp.concatenate([v, w], axis=-1)
 
 
 def orthonormalize(R: jnp.ndarray) -> jnp.ndarray:
     """Project [..., 3, 3] onto SO(3) via SVD (det +1 enforced)."""
     U, _, Vt = jnp.linalg.svd(R)
-    det = jnp.linalg.det(jnp.matmul(U, Vt))
+    det = jnp.linalg.det(jnp.matmul(U, Vt, precision=_PREC))
     S = jnp.ones(R.shape[:-2] + (3,), dtype=R.dtype).at[..., 2].set(det)
-    return jnp.einsum("...ik,...k,...kj->...ij", U, S, Vt)
+    return jnp.einsum("...ik,...k,...kj->...ij", U, S, Vt, precision=_PREC)
 
 
 def kabsch(src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray | None = None):
@@ -182,14 +187,14 @@ def kabsch(src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray | None = Non
         weights = jnp.ones(src.shape[:-1], dtype=src.dtype)
     wsum = jnp.sum(weights, axis=-1, keepdims=True) + 1e-32
     wn = weights / wsum
-    mu_s = jnp.einsum("...n,...ni->...i", wn, src)
-    mu_d = jnp.einsum("...n,...ni->...i", wn, dst)
+    mu_s = jnp.einsum("...n,...ni->...i", wn, src, precision=_PREC)
+    mu_d = jnp.einsum("...n,...ni->...i", wn, dst, precision=_PREC)
     s = src - mu_s[..., None, :]
     d = dst - mu_d[..., None, :]
-    H = jnp.einsum("...n,...ni,...nj->...ij", wn, s, d)
+    H = jnp.einsum("...n,...ni,...nj->...ij", wn, s, d, precision=_PREC)
     U, _, Vt = jnp.linalg.svd(H)
-    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", jnp.swapaxes(Vt, -1, -2), jnp.swapaxes(U, -1, -2)))
+    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", jnp.swapaxes(Vt, -1, -2), jnp.swapaxes(U, -1, -2), precision=_PREC))
     S = jnp.ones(H.shape[:-2] + (3,), dtype=H.dtype).at[..., 2].set(det)
-    R = jnp.einsum("...ji,...j,...kj->...ik", Vt, S, U)  # V diag(S) U^T
-    t = mu_d - jnp.einsum("...ij,...j->...i", R, mu_s)
+    R = jnp.einsum("...ji,...j,...kj->...ik", Vt, S, U, precision=_PREC)  # V diag(S) U^T
+    t = mu_d - jnp.einsum("...ij,...j->...i", R, mu_s, precision=_PREC)
     return R, t

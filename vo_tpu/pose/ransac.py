@@ -118,26 +118,31 @@ def best_hypothesis(
 
     Returns (R_w2c, t_w2c, msac_score, any_valid).
     """
-    n_hyp = cfg.n_hypotheses if n_hypotheses is None else n_hypotheses
-    bear = _bearings(px2d, calib)
-    idx = _sample_triples(key, mask, n_hyp)  # [H, 3]
-    tri_bear = jnp.take(bear, idx, axis=0)  # [H, 3, 3]
-    tri_pts = jnp.take(pts3d, idx, axis=0)  # [H, 3, 3]
-    sols = p3p_grunert(tri_bear, tri_pts)  # [H, 4, ...]
-    H_total = n_hyp * 4
-    R_all = sols.R_w2c.reshape(H_total, 3, 3)
-    t_all = sols.t_w2c.reshape(H_total, 3)
-    valid_h = sols.valid.reshape(H_total)
+    # Full f32 matmul precision throughout: the geometry matmuls here are
+    # [*, 3, 3]-sized (negligible FLOPs), but at the TPU default bf16 passes
+    # the world-point coordinates (tens of meters) lose ~0.4% per contraction
+    # — tens of centimeters of reprojection noise that dominates the ATE.
+    with jax.default_matmul_precision("float32"):
+        n_hyp = cfg.n_hypotheses if n_hypotheses is None else n_hypotheses
+        bear = _bearings(px2d, calib)
+        idx = _sample_triples(key, mask, n_hyp)  # [H, 3]
+        tri_bear = jnp.take(bear, idx, axis=0)  # [H, 3, 3]
+        tri_pts = jnp.take(pts3d, idx, axis=0)  # [H, 3, 3]
+        sols = p3p_grunert(tri_bear, tri_pts)  # [H, 4, ...]
+        H_total = n_hyp * 4
+        R_all = sols.R_w2c.reshape(H_total, 3, 3)
+        t_all = sols.t_w2c.reshape(H_total, 3)
+        valid_h = sols.valid.reshape(H_total)
 
-    # --- score: one [H*4, N] reprojection reduction (MSAC) ---
-    pred, z = _project_w2c(R_all, t_all, pts3d, calib)  # [H, N, 2]
-    err2 = jnp.sum((pred - px2d) ** 2, axis=-1)  # [H, N]
-    thr2 = cfg.max_reproj_err_px**2
-    point_ok = mask[None, :] & (z > 0.0)
-    msac = jnp.sum(jnp.where(point_ok, jnp.minimum(err2, thr2), thr2), axis=-1)
-    msac = jnp.where(valid_h, msac, jnp.inf)
-    best = jnp.argmin(msac)
-    return R_all[best], t_all[best], msac[best], jnp.any(valid_h)
+        # --- score: one [H*4, N] reprojection reduction (MSAC) ---
+        pred, z = _project_w2c(R_all, t_all, pts3d, calib)  # [H, N, 2]
+        err2 = jnp.sum((pred - px2d) ** 2, axis=-1)  # [H, N]
+        thr2 = cfg.max_reproj_err_px**2
+        point_ok = mask[None, :] & (z > 0.0)
+        msac = jnp.sum(jnp.where(point_ok, jnp.minimum(err2, thr2), thr2), axis=-1)
+        msac = jnp.where(valid_h, msac, jnp.inf)
+        best = jnp.argmin(msac)
+        return R_all[best], t_all[best], msac[best], jnp.any(valid_h)
 
 
 def finalize_pose(
@@ -151,6 +156,22 @@ def finalize_pose(
     cfg: RansacConfig,
 ) -> PoseEstimate:
     """Refine the winning hypothesis on its consensus set and package the result."""
+    return _finalize_f32(R_best, t_best, any_valid, px2d, pts3d, mask, calib, cfg)
+
+
+def _f32_matmul(fn):
+    """Trace the wrapped function under full f32 matmul precision (see
+    best_hypothesis: the geometry contractions are tiny but bf16-sensitive)."""
+
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+@_f32_matmul
+def _finalize_f32(R_best, t_best, any_valid, px2d, pts3d, mask, calib, cfg) -> PoseEstimate:
     n_valid = jnp.sum(mask)
     thr2 = cfg.max_reproj_err_px**2
     pred0, z0 = _project_w2c(R_best, t_best, pts3d, calib)
