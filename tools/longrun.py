@@ -33,9 +33,9 @@ def out_and_back_poses(n_frames: int) -> np.ndarray:
     from vo_tpu.io import kitti
 
     gt = kitti.read_poses("/root/reference/kitti/poses/00.txt")
-    half = n_frames // 2
+    half = (n_frames + 1) // 2
     fwd = gt[:half]
-    back = gt[max(0, half - 2) :: -1][: n_frames - half]
+    back = fwd[::-1]  # turn frame appears twice: one zero-motion frame at the apex
     return np.concatenate([fwd, back])[:n_frames]
 
 

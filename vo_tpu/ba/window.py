@@ -237,21 +237,39 @@ def _solve_window_impl(
     T_w2c0 = jax.vmap(se3.inv)(prob.T_c2w)
     cost0 = _cost_only(T_w2c0, prob.X, prob, calib, cfg, axis_name)
 
+    # Trust-region prior toward the VO-chained initial poses (see BAConfig):
+    # residual = accumulated twist from T_w2c0, Jacobian = identity per pose.
+    # Added AFTER the psum'd assembly so sharded and single-device solves see
+    # the identical (replicated) system.
+    dt = prob.X.dtype
+    w6 = jnp.concatenate(
+        [jnp.full((3,), cfg.prior_t_w, dt), jnp.full((3,), cfg.prior_r_w, dt)]
+    )
+    kf_w = prob.kf_mask.astype(dt)[:, None]  # [K, 1] — no prior on frozen slots
+
+    def prior_cost(acc):
+        return 0.5 * jnp.sum(w6 * acc * acc * kf_w)
+
     def lm_step(carry, _):
-        T_w2c, X, lam, cost = carry
+        T_w2c, X, lam, cost, acc = carry
         sys = _assemble(T_w2c, X, prob, calib, cfg, axis_name)
+        sys["U"] = sys["U"] + jnp.diag(w6)[None] * kf_w[..., None]
+        sys["g_p"] = sys["g_p"] - w6 * acc * kf_w
         dxi, dX = _solve_schur(sys, lam, cfg, prob.kf_mask, axis_name)
         T_try, X_try = _apply_update(T_w2c, X, dxi, dX)
-        cost_try = _cost_only(T_try, X_try, prob, calib, cfg, axis_name)
+        acc_try = acc + dxi
+        cost_try = _cost_only(T_try, X_try, prob, calib, cfg, axis_name) + prior_cost(acc_try)
         accept = cost_try < cost
         T_new = jnp.where(accept, T_try, T_w2c)
         X_new = jnp.where(accept, X_try, X)
+        acc_new = jnp.where(accept, acc_try, acc)
         lam_new = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-9), lam * 4.0)
         cost_new = jnp.where(accept, cost_try, cost)
-        return (T_new, X_new, lam_new, cost_new), cost_new
+        return (T_new, X_new, lam_new, cost_new, acc_new), cost_new
 
-    init = (T_w2c0, prob.X, jnp.asarray(cfg.damping, prob.X.dtype), cost0)
-    (T_w2c, X, _, cost), _ = jax.lax.scan(lm_step, init, None, length=cfg.iters)
+    acc0 = jnp.zeros((prob.T_c2w.shape[0], 6), dt)
+    init = (T_w2c0, prob.X, jnp.asarray(cfg.damping, dt), cost0, acc0)
+    (T_w2c, X, _, cost, _), _ = jax.lax.scan(lm_step, init, None, length=cfg.iters)
     n_obs = jnp.sum(prob.obs_mask & prob.X_mask[None, :] & prob.kf_mask[:, None])
     if axis_name is not None:
         n_obs = jax.lax.psum(n_obs, axis_name)

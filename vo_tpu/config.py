@@ -100,6 +100,19 @@ class BAConfig:
     # out-lever every inlier in the window. Drift within a short window is
     # far below this gate; mis-associations are far above it.
     obs_gate_px: float = 12.0
+    # Trust-region prior pulling each window pose toward its VO-chained
+    # initial value (units: 1/sigma^2; sigma_t = 5 cm, sigma_r ~ 0.5 deg).
+    # The VO initials come from hundreds of RANSAC-verified correspondences
+    # per frame; the window's multi-view tracks can be few and weakly
+    # conditioned (far points), and without this prior the reprojection-only
+    # optimum wanders decimeters off in the sliding null space, compounding
+    # through rigid re-anchoring into unbounded trajectory error.
+    prior_t_w: float = 400.0
+    prior_r_w: float = 1.5e4
+    # Post-solve sanity gate: reject a solve whose last-keyframe correction
+    # exceeds plausible intra-window drift (divergence protection).
+    max_corr_t: float = 1.0  # meters
+    max_corr_deg: float = 2.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -14,7 +14,6 @@ All functions broadcast over leading batch dimensions.
 from __future__ import annotations
 
 import jax
-import jax
 import jax.numpy as jnp
 
 # All operands here are <=4x4: full f32 MXU precision is free, and pose

@@ -26,7 +26,18 @@ import numpy as np
 from ..ba.window import BAProblem, solve_window
 from ..config import BAConfig, PipelineConfig
 from ..geom.camera import StereoCalib
-from ..geom.triangulate import triangulate_rectified
+
+
+def _triangulate_rectified_np(l_px: np.ndarray, r_px: np.ndarray, calib: StereoCalib) -> np.ndarray:
+    """Host-side rectified closed form (geom.triangulate.triangulate_rectified
+    in numpy): window assembly runs on the worker thread between jitted solves,
+    and a device call per keyframe here would cost a tunnel round trip each."""
+    disparity = l_px[:, 0] - r_px[:, 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = np.where(disparity > 0, float(calib.fu) * float(calib.baseline) / disparity, np.inf)
+    x = (l_px[:, 0] - float(calib.cu)) / float(calib.fu) * z
+    y = (l_px[:, 1] - float(calib.cv)) / float(calib.fv) * z
+    return np.stack([x, y, z], axis=-1).astype(np.float32)
 
 
 @dataclasses.dataclass
@@ -48,6 +59,24 @@ class WindowedBA:
         self.window: deque = deque(maxlen=cfg.window)
         self._solve = jax.jit(lambda p: solve_window(p, calib, cfg))
         self.last_result = None
+        self.n_rejected = 0  # solves discarded by the correction sanity gate
+
+    def warmup(self) -> None:
+        """Compile the solver on the production (K, M) shapes with an empty
+        problem so the first real keyframe doesn't pay the compile inside the
+        timed frame loop."""
+        K, M = self.cfg.window, self.cfg.max_points
+        prob = BAProblem(
+            T_c2w=jnp.tile(jnp.eye(4, dtype=jnp.float32), (K, 1, 1)),
+            X=jnp.zeros((M, 3), jnp.float32),
+            obs_uv=jnp.zeros((K, M, 2), jnp.float32),
+            obs_mask=jnp.zeros((K, M), bool),
+            obs_ur=jnp.zeros((K, M), jnp.float32),
+            obs_ur_mask=jnp.zeros((K, M), bool),
+            X_mask=jnp.zeros(M, bool),
+            kf_mask=jnp.zeros(K, bool),
+        )
+        jax.block_until_ready(self._solve(prob).T_c2w)
 
     def add_keyframe(self, kf: Keyframe) -> None:
         self.window.append(kf)
@@ -93,13 +122,7 @@ class WindowedBA:
             new = ~X_seen[cols]
             if new.any():
                 nr, nc = rows[new], cols[new]
-                Xc = np.asarray(
-                    triangulate_rectified(
-                        jnp.asarray(kf.l_px[nr], jnp.float32),
-                        jnp.asarray(kf.r_px[nr], jnp.float32),
-                        self.calib,
-                    )
-                )
+                Xc = _triangulate_rectified_np(kf.l_px[nr], kf.r_px[nr], self.calib)
                 good = (Xc[:, 2] > 0.5) & (Xc[:, 2] < 200.0) & np.isfinite(Xc).all(axis=1)
                 Xw = Xc @ kf.pose_c2w[:3, :3].T + kf.pose_c2w[:3, 3]
                 X0[nc[good]] = Xw[good]
@@ -155,6 +178,15 @@ class WindowedBA:
         T_new = np.asarray(res.T_c2w)[:n]
         T_old_last = self.window[-1].pose_c2w
         correction = T_new[-1] @ np.linalg.inv(T_old_last)
+        # Sanity gate: a correction beyond plausible intra-window drift means
+        # the solve wandered (weak conditioning); discard rather than corrupt
+        # the trajectory through rigid re-anchoring.
+        d_t = float(np.linalg.norm(correction[:3, 3]))
+        cos_a = np.clip((np.trace(correction[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
+        d_deg = float(np.degrees(np.arccos(cos_a)))
+        if d_t > self.cfg.max_corr_t or d_deg > self.cfg.max_corr_deg:
+            self.n_rejected += 1
+            return None
         # Window keyframes adopt their refined poses.
         for k, kf in enumerate(self.window):
             kf.pose_c2w = T_new[k]

@@ -78,6 +78,10 @@ class RefinerWorker:
             from .ba_runner import WindowedBA
 
             self.wba = WindowedBA(calib, cfg.ba)
+            # Compile the window solver NOW (runner constructs the worker
+            # before its timed loop) instead of inside the first keyframe's
+            # lock-step wait.
+            self.wba.warmup()
         if use_loop_closure:
             from ..slam.loop_closure import LoopCloser, LoopConfig
 
@@ -105,12 +109,16 @@ class RefinerWorker:
             pose_dev,
             prev_feats.l_xy,
             prev_feats.r_xy,
-            prev_feats.l_desc,
+            # Descriptors are only read by loop closure — skip the [C, 128]
+            # copy (the largest payload) when it's disabled.
+            prev_feats.l_desc if self.lclo is not None else None,
             prev_feats.mask,
             prev_feats.ids,
         )
         for name in ("pose", "l_xy", "r_xy", "l_desc", "mask", "ids"):
-            _start_async_copy(getattr(job, name))
+            arr = getattr(job, name)
+            if arr is not None:
+                _start_async_copy(arr)
         self._q.put(job)
 
     def wait_pending(self) -> None:
@@ -148,7 +156,10 @@ class RefinerWorker:
 
     @property
     def stats(self) -> dict:
-        return dict(loops_closed=self._loops_closed, ba_solves=self._ba_solves)
+        s = dict(loops_closed=self._loops_closed, ba_solves=self._ba_solves)
+        if self.wba is not None:
+            s["ba_rejected"] = self.wba.n_rejected
+        return s
 
     def close(self) -> None:
         """Drain the queue and stop the thread."""
