@@ -36,7 +36,16 @@ def main() -> None:
     calib = kitti.load_stereo_calib("/root/reference/kitti/00")
     poses = out_and_back_poses(args.frames)
     seq = synthetic.SyntheticSequence(calib, poses, n_landmarks=9000, seed=0)
-    pre = _Preloaded(seq, args.frames)
+    cache = f"/tmp/longrun_frames_{args.frames}_9000.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        pre = _Preloaded.__new__(_Preloaded)
+        pre.calib = seq.calib
+        pre.gt_poses = seq.gt_poses
+        pre.frames = [(z["l"][i], z["r"][i]) for i in range(args.frames)]
+    else:
+        pre = _Preloaded(seq, args.frames)
+        np.savez(cache, l=np.stack([f[0] for f in pre.frames]), r=np.stack([f[1] for f in pre.frames]))
 
     orig_opt = ba_runner.WindowedBA.optimize
     log = []

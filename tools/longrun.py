@@ -62,8 +62,24 @@ def main() -> None:
     poses = out_and_back_poses(args.frames)
     seq = synthetic.SyntheticSequence(calib, poses, n_landmarks=args.landmarks, seed=0)
     t0 = time.perf_counter()
-    pre = _Preloaded(seq, args.frames)
-    print(f"rendered {args.frames} frames in {time.perf_counter() - t0:.1f}s", flush=True)
+    # Host rasterization dominates setup (~10 min at 600 frames); cache the
+    # rendered uint8 frames so iterating on the pipeline re-renders for free.
+    cache = f"/tmp/longrun_frames_{args.frames}_{args.landmarks}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        pre = _Preloaded.__new__(_Preloaded)
+        pre.calib = seq.calib
+        pre.gt_poses = seq.gt_poses
+        pre.frames = [(z["l"][i], z["r"][i]) for i in range(args.frames)]
+        print(f"loaded {args.frames} cached frames from {cache}", flush=True)
+    else:
+        pre = _Preloaded(seq, args.frames)
+        np.savez(
+            cache,
+            l=np.stack([f[0] for f in pre.frames]),
+            r=np.stack([f[1] for f in pre.frames]),
+        )
+        print(f"rendered {args.frames} frames in {time.perf_counter() - t0:.1f}s", flush=True)
 
     cfg = PipelineConfig()
     configs = {

@@ -50,6 +50,81 @@ class Keyframe:
     mask: np.ndarray  # [C]
 
 
+class WindowAssociator:
+    """Descriptor-level association of observations across window keyframes.
+
+    The VO pipeline's persistent track ids chain frame-to-frame through the
+    4-stage cascade (odometry.pipeline), so survival across a keyframe gap
+    compounds per-frame attrition (~survival^gap — measured 1.4% over 5
+    frames on the synthetic feed) and the BA window starves (~15 multi-view
+    landmarks, near-zero redundancy). Here each new keyframe is matched
+    DIRECTLY against every keyframe still in the window (one vmapped MXU
+    matmul on device, off the frame critical path — odometry.runner) and the
+    pairings are merged with union-find: one matching stage per pair instead
+    of ``gap`` chained stages.
+    """
+
+    def __init__(self, n_slots: int):
+        self.n_slots = n_slots
+        self._next = 0
+        self._parent: dict[int, int] = {}
+        # slot -> [C] int64 tids of the keyframe currently in that ring slot
+        self._slot_tids: list = [None] * n_slots
+
+    def _find(self, t: int) -> int:
+        root = t
+        while self._parent[root] != root:
+            root = self._parent[root]
+        while self._parent[t] != root:  # path compression
+            self._parent[t], t = root, self._parent[t]
+        return root
+
+    def _union(self, a: int, b: int) -> None:
+        ra, rb = self._find(a), self._find(b)
+        if ra != rb:
+            self._parent[max(ra, rb)] = min(ra, rb)
+
+    def add(
+        self,
+        slot: int,
+        valid: np.ndarray,
+        m_a: np.ndarray,
+        m_b: np.ndarray,
+        m_ok: np.ndarray,
+    ) -> np.ndarray:
+        """Register a keyframe entering ring ``slot``; returns its [C] tids.
+
+        ``m_a/m_b/m_ok`` are [K, C] match payloads of the new keyframe (A
+        side) against each ring slot's keyframe (B side), computed BEFORE the
+        new keyframe overwrote ``slot`` (so row ``slot`` refers to the
+        departing keyframe and is ignored).
+        """
+        C = valid.shape[0]
+        tids = np.full(C, -1, np.int64)
+        fresh = np.flatnonzero(valid)
+        tids[fresh] = self._next + np.arange(fresh.size)
+        for t in tids[fresh]:
+            self._parent[int(t)] = int(t)
+        self._next += fresh.size
+        for k in range(self.n_slots):
+            if k == slot or self._slot_tids[k] is None:
+                continue
+            prev_tids = self._slot_tids[k]
+            for j in np.flatnonzero(m_ok[k]):
+                a, b = int(m_a[k, j]), int(m_b[k, j])
+                if valid[a] and prev_tids[b] >= 0:
+                    self._union(int(tids[a]), int(prev_tids[b]))
+        self._slot_tids[slot] = tids
+        # Canonicalize every live slot so assembly can group by plain equality.
+        for k in range(self.n_slots):
+            st = self._slot_tids[k]
+            if st is None:
+                continue
+            for j in np.flatnonzero(st >= 0):
+                st[j] = self._find(int(st[j]))
+        return self._slot_tids[slot]
+
+
 class WindowedBA:
     """Keyframe window + jitted solver; returns pose corrections."""
 
@@ -124,8 +199,8 @@ class WindowedBA:
                 nr, nc = rows[new], cols[new]
                 Xc = _triangulate_rectified_np(kf.l_px[nr], kf.r_px[nr], self.calib)
                 good = (Xc[:, 2] > 0.5) & (Xc[:, 2] < 200.0) & np.isfinite(Xc).all(axis=1)
-                Xw = Xc @ kf.pose_c2w[:3, :3].T + kf.pose_c2w[:3, 3]
-                X0[nc[good]] = Xw[good]
+                Xw = Xc[good] @ kf.pose_c2w[:3, :3].T + kf.pose_c2w[:3, 3]
+                X0[nc[good]] = Xw
                 X_seen[nc[good]] = True
         # Reprojection pre-gate: drop gross-outlier observations
         # (mis-associated tracks) before they can lever the solve.

@@ -40,9 +40,9 @@ from ..geom.camera import StereoCalib
 class _KeyframeJob:
     """Device arrays captured at a keyframe boundary (host copies in flight)."""
 
-    __slots__ = ("frame_idx", "pose", "l_xy", "r_xy", "l_desc", "mask", "ids")
+    __slots__ = ("frame_idx", "pose", "l_xy", "r_xy", "l_desc", "mask", "ids", "assoc")
 
-    def __init__(self, frame_idx, pose, l_xy, r_xy, l_desc, mask, ids):
+    def __init__(self, frame_idx, pose, l_xy, r_xy, l_desc, mask, ids, assoc=None):
         self.frame_idx = frame_idx
         self.pose = pose
         self.l_xy = l_xy
@@ -50,6 +50,10 @@ class _KeyframeJob:
         self.l_desc = l_desc
         self.mask = mask
         self.ids = ids
+        # (slot, a_idx [K,C], b_idx [K,C], ok [K,C]) — window-match payload
+        # from the runner's on-device keyframe associator (ba_runner.
+        # WindowAssociator); None when BA is off.
+        self.assoc = assoc
 
 
 def _start_async_copy(arr):
@@ -75,13 +79,16 @@ class RefinerWorker:
         self.wba = None
         self.lclo = None
         if use_ba:
-            from .ba_runner import WindowedBA
+            from .ba_runner import WindowAssociator, WindowedBA
 
             self.wba = WindowedBA(calib, cfg.ba)
+            self.associator = WindowAssociator(cfg.ba.window)
             # Compile the window solver NOW (runner constructs the worker
             # before its timed loop) instead of inside the first keyframe's
             # lock-step wait.
             self.wba.warmup()
+        else:
+            self.associator = None
         if use_loop_closure:
             from ..slam.loop_closure import LoopCloser, LoopConfig
 
@@ -100,10 +107,11 @@ class RefinerWorker:
 
     # -- main-thread API ------------------------------------------------------
 
-    def submit(self, frame_idx: int, pose_dev, prev_feats) -> None:
+    def submit(self, frame_idx: int, pose_dev, prev_feats, assoc=None) -> None:
         """Enqueue a keyframe. ``pose_dev``/``prev_feats`` are DEVICE arrays;
         async host copies are started here so the worker's np.asarray is a
-        cheap completion wait, not a fresh round trip."""
+        cheap completion wait, not a fresh round trip. ``assoc`` is the
+        (slot, a_idx, b_idx, ok) window-match payload (device arrays)."""
         job = _KeyframeJob(
             frame_idx,
             pose_dev,
@@ -114,10 +122,14 @@ class RefinerWorker:
             prev_feats.l_desc if self.lclo is not None else None,
             prev_feats.mask,
             prev_feats.ids,
+            assoc=assoc,
         )
         for name in ("pose", "l_xy", "r_xy", "l_desc", "mask", "ids"):
             arr = getattr(job, name)
             if arr is not None:
+                _start_async_copy(arr)
+        if assoc is not None:
+            for arr in assoc[1:]:
                 _start_async_copy(arr)
         self._q.put(job)
 
@@ -220,11 +232,24 @@ class RefinerWorker:
             # BA sees the loop-corrected pose if a closure just fired.
             with self._lock:
                 cur_pose = self._kf_corrected[job.frame_idx].copy()
+            if job.assoc is not None:
+                slot, m_a, m_b, m_ok = job.assoc
+                tids = self.associator.add(
+                    int(slot),
+                    mask,
+                    np.asarray(m_a),
+                    np.asarray(m_b),
+                    np.asarray(m_ok, bool),
+                )
+            else:
+                tids = np.asarray(job.ids, np.int32)
             self.wba.add_keyframe(
                 Keyframe(
                     frame_idx=job.frame_idx,
                     pose_c2w=cur_pose,
-                    ids=np.asarray(job.ids, np.int32),
+                    # The associator keeps canonicalizing this array as later
+                    # keyframes merge tracks — share it, don't copy.
+                    ids=tids,
                     l_px=l_xy,
                     r_px=r_xy,
                     mask=mask,

@@ -183,10 +183,35 @@ def run_sequence(
 
     mlog = MetricsLog(metrics_path) if metrics_path else None
     refiner = None
+    kf_assoc = None
     if use_ba or use_loop_closure:
         from .refiner import RefinerWorker
 
         refiner = RefinerWorker(calib, cfg, use_ba=use_ba, use_loop_closure=use_loop_closure)
+    if use_ba:
+        # On-device keyframe associator: one vmapped descriptor match of the
+        # new keyframe against every keyframe still in the BA window (MXU
+        # matmul, dispatched async — the worker union-finds the results;
+        # ba_runner.WindowAssociator explains why frame-level id chaining
+        # isn't enough).
+        from ..frontend.match import match as _match
+
+        Kw = cfg.ba.window
+        Cw = cfg.max_tracks
+        ring_desc = jnp.zeros((Kw, Cw, 128), jnp.float32)
+        ring_mask = jnp.zeros((Kw, Cw), bool)
+        assoc_slot = 0
+
+        @jax.jit
+        def kf_assoc(rd, rm, new_desc, new_mask, pos):
+            def one(d, m):
+                r = _match(new_desc, new_mask, d, m, cfg.matcher, Cw)
+                return r.a_idx, r.b_idx, r.mask
+
+            a, b, ok = jax.vmap(one)(rd, rm)
+            rd = rd.at[pos].set(new_desc)
+            rm = rm.at[pos].set(new_mask)
+            return rd, rm, a, b, ok
     gt_poses = getattr(seq, "gt_poses", None)
     if viz_every and viz_dir:
         os.makedirs(viz_dir, exist_ok=True)
@@ -220,7 +245,15 @@ def run_sequence(
             lmap = insert(lmap, out.new_lm_l_px, out.new_lm_r_px, out.new_lm_mask, out.pose_c2w)
         if refiner is not None and i > 0 and i % ke == 0:
             # state.prev now holds THIS frame's stereo features + track ids.
-            refiner.submit(i, out.pose_c2w, state.prev)
+            assoc = None
+            if kf_assoc is not None:
+                ring_desc, ring_mask, m_a, m_b, m_ok = kf_assoc(
+                    ring_desc, ring_mask, state.prev.l_desc, state.prev.mask,
+                    jnp.int32(assoc_slot),
+                )
+                assoc = (assoc_slot, m_a, m_b, m_ok)
+                assoc_slot = (assoc_slot + 1) % Kw
+            refiner.submit(i, out.pose_c2w, state.prev, assoc=assoc)
         if deferred:
             if i > 0:  # all_poses starts at frame 2 (VO.m:133)
                 hist.append(out.pose_c2w, out.rel_pose, out.n_inliers, out.n_tracks, out.pose_ok)
