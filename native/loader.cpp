@@ -6,9 +6,10 @@
 // pool that stays N frames ahead of the consumer; Python picks finished
 // frames up via ctypes with zero copies beyond the decode buffer.
 //
-// Scope: non-interlaced 8/16-bit grayscale (color types 0 and 2 reduced to
-// luma) PNG — exactly what KITTI odometry image_0/image_1 contain. Inflate
-// is delegated to zlib.
+// Scope: non-interlaced 8/16-bit PNG, color types 0/2/4/6 (color reduced to
+// BT.601 luma, alpha ignored) — covering KITTI odometry image_0/image_1
+// (gray8) and the reference's published result figures (4500/*.png, RGB and
+// RGBA). Inflate is delegated to zlib.
 //
 // C API (ctypes-friendly):
 //   vo_png_info(path, &h, &w)                  -> 0 on success
@@ -98,9 +99,16 @@ int decode_png(const char* path, Image* img, bool header_only) {
     pos += 12 + len;
   }
   if (w <= 0 || h <= 0 || interlace != 0) return -7;
-  if (color_type != 0 && color_type != 2) return -8;  // gray or rgb only
+  // Gray (0), RGB (2), gray+alpha (4), RGBA (6); alpha is ignored for luma.
+  int chans;
+  switch (color_type) {
+    case 0: chans = 1; break;
+    case 2: chans = 3; break;
+    case 4: chans = 2; break;
+    case 6: chans = 4; break;
+    default: return -8;  // palette not supported
+  }
   if (bit_depth != 8 && bit_depth != 16) return -9;
-  int chans = (color_type == 2) ? 3 : 1;
   int bpp = chans * bit_depth / 8;           // bytes per pixel
   size_t stride = size_t(w) * size_t(bpp);   // bytes per scanline (no filter byte)
 
@@ -148,29 +156,28 @@ int decode_png(const char* path, Image* img, bool header_only) {
       line[x] = uint8_t(v & 0xff);
     }
     float* dst = &img->px[size_t(y) * size_t(w)];
+    bool rgb = chans >= 3;  // 2 and 4 carry a trailing alpha byte, ignored
     if (bit_depth == 8) {
-      if (chans == 1) {
-        for (int x = 0; x < w; ++x) dst[x] = float(line[x]) * scale8;
-      } else {
-        for (int x = 0; x < w; ++x) {
+      for (int x = 0; x < w; ++x) {
+        const uint8_t* q = &line[size_t(x) * size_t(bpp)];
+        if (rgb) {
           // ITU-R BT.601 luma, matching rgb2gray-style conversion.
-          float r = line[size_t(x) * 3], g = line[size_t(x) * 3 + 1],
-                bl = line[size_t(x) * 3 + 2];
-          dst[x] = (0.299f * r + 0.587f * g + 0.114f * bl) * scale8;
+          dst[x] = (0.299f * q[0] + 0.587f * q[1] + 0.114f * q[2]) * scale8;
+        } else {
+          dst[x] = float(q[0]) * scale8;
         }
       }
     } else {  // 16-bit big-endian
-      if (chans == 1) {
-        for (int x = 0; x < w; ++x) {
-          uint32_t v16 = (uint32_t(line[size_t(x) * 2]) << 8) | line[size_t(x) * 2 + 1];
-          dst[x] = float(v16) * scale16;
-        }
-      } else {
-        for (int x = 0; x < w; ++x) {
-          uint32_t r = (uint32_t(line[size_t(x) * 6]) << 8) | line[size_t(x) * 6 + 1];
-          uint32_t g = (uint32_t(line[size_t(x) * 6 + 2]) << 8) | line[size_t(x) * 6 + 3];
-          uint32_t bl = (uint32_t(line[size_t(x) * 6 + 4]) << 8) | line[size_t(x) * 6 + 5];
+      for (int x = 0; x < w; ++x) {
+        const uint8_t* q = &line[size_t(x) * size_t(bpp)];
+        if (rgb) {
+          uint32_t r = (uint32_t(q[0]) << 8) | q[1];
+          uint32_t g = (uint32_t(q[2]) << 8) | q[3];
+          uint32_t bl = (uint32_t(q[4]) << 8) | q[5];
           dst[x] = (0.299f * float(r) + 0.587f * float(g) + 0.114f * float(bl)) * scale16;
+        } else {
+          uint32_t v16 = (uint32_t(q[0]) << 8) | q[1];
+          dst[x] = float(v16) * scale16;
         }
       }
     }

@@ -39,6 +39,13 @@ def out_and_back_poses(n_frames: int) -> np.ndarray:
     return np.concatenate([fwd, back])[:n_frames]
 
 
+def load_or_render(calib, poses: np.ndarray, n_frames: int, n_landmarks: int, seed: int = 0):
+    """Pose-validated rendered-frame cache (see bench.preload_cached)."""
+    from bench import preload_cached
+
+    return preload_cached(calib, poses, n_frames, n_landmarks, seed)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=600)
@@ -52,38 +59,23 @@ def main() -> None:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    from bench import _Preloaded
     from vo_tpu.config import PipelineConfig
     from vo_tpu.eval import metrics
-    from vo_tpu.io import kitti, synthetic
+    from vo_tpu.io import kitti
     from vo_tpu.odometry import runner
 
     calib = kitti.load_stereo_calib("/root/reference/kitti/00")
     poses = out_and_back_poses(args.frames)
-    seq = synthetic.SyntheticSequence(calib, poses, n_landmarks=args.landmarks, seed=0)
-    t0 = time.perf_counter()
     # Host rasterization dominates setup (~10 min at 600 frames); cache the
     # rendered uint8 frames so iterating on the pipeline re-renders for free.
-    cache = f"/tmp/longrun_frames_{args.frames}_{args.landmarks}.npz"
-    if os.path.exists(cache):
-        z = np.load(cache)
-        pre = _Preloaded.__new__(_Preloaded)
-        pre.calib = seq.calib
-        pre.gt_poses = seq.gt_poses
-        pre.frames = [(z["l"][i], z["r"][i]) for i in range(args.frames)]
-        print(f"loaded {args.frames} cached frames from {cache}", flush=True)
-    else:
-        pre = _Preloaded(seq, args.frames)
-        np.savez(
-            cache,
-            l=np.stack([f[0] for f in pre.frames]),
-            r=np.stack([f[1] for f in pre.frames]),
-        )
-        print(f"rendered {args.frames} frames in {time.perf_counter() - t0:.1f}s", flush=True)
+    pre = load_or_render(calib, poses, args.frames, args.landmarks)
 
     cfg = PipelineConfig()
+    # Four-config matrix (VERDICT r2 item 2): vo_lc isolates loop closure
+    # from BA so a regression in either is attributable.
     configs = {
         "vo": dict(use_ba=False, use_loop_closure=False),
+        "vo_lc": dict(use_ba=False, use_loop_closure=True),
         "vo_ba": dict(use_ba=True, use_loop_closure=False),
         "vo_ba_lc": dict(use_ba=True, use_loop_closure=True),
     }

@@ -36,11 +36,24 @@ def _add_run(sub):
     p.add_argument(
         "--multi-orientation",
         action="store_true",
-        help="emit duplicate keypoints for secondary orientation peaks (MATLAB >=80%% rule)",
+        help="(default) duplicate keypoints for secondary orientation peaks (MATLAB >=80%% rule)",
+    )
+    p.add_argument(
+        "--single-orientation",
+        action="store_true",
+        help="dominant orientation peak only (disables the MATLAB multi-peak rule)",
     )
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--ba", action="store_true", help="enable sliding-window bundle adjustment")
     p.add_argument("--loop-closure", action="store_true", help="enable loop detection + pose-graph correction")
+    p.add_argument("--loop-radius", type=float, default=None, help="loop candidate proximity gate (m)")
+    p.add_argument("--loop-min-inliers", type=int, default=None, help="geometric verification threshold")
+    p.add_argument("--loop-max-keyframes", type=int, default=None, help="pose-graph node capacity")
+    p.add_argument(
+        "--no-loop-appearance",
+        action="store_true",
+        help="disable the appearance-retrieval candidate channel (proximity only)",
+    )
     return p
 
 
@@ -52,10 +65,23 @@ def _build_cfg(args):
     cfg = PipelineConfig(view_3d=not args.no_view_3d)
     if args.max_keypoints:
         cfg = dataclasses.replace(cfg, sift=dataclasses.replace(cfg.sift, max_keypoints=args.max_keypoints))
-    if args.multi_orientation:
+    if args.single_orientation:
+        cfg = dataclasses.replace(cfg, sift=dataclasses.replace(cfg.sift, n_orientations=1))
+    elif args.multi_orientation:
         cfg = dataclasses.replace(cfg, sift=dataclasses.replace(cfg.sift, n_orientations=2))
     if args.hypotheses:
         cfg = dataclasses.replace(cfg, ransac=dataclasses.replace(cfg.ransac, n_hypotheses=args.hypotheses))
+    loop_kw = {}
+    if args.loop_radius is not None:
+        loop_kw["radius"] = args.loop_radius
+    if args.loop_min_inliers is not None:
+        loop_kw["min_inliers"] = args.loop_min_inliers
+    if args.loop_max_keyframes is not None:
+        loop_kw["max_keyframes"] = args.loop_max_keyframes
+    if args.no_loop_appearance:
+        loop_kw["appearance"] = False
+    if loop_kw:
+        cfg = dataclasses.replace(cfg, loop=dataclasses.replace(cfg.loop, **loop_kw))
     return cfg
 
 

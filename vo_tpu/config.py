@@ -32,8 +32,9 @@ class SIFTConfig:
     ori_bins: int = 36
     # 2 = Lowe/MATLAB multi-peak orientations (duplicate keypoint per
     # histogram peak >= 80% of max); 1 = dominant peak only. The duplicate
-    # set shares the max_keypoints capacity.
-    n_orientations: int = 1
+    # set shares the max_keypoints capacity. Default 2 matches MATLAB
+    # detectSIFTFeatures (VO.m:79-84), measured +19% matches (VERDICT r2).
+    n_orientations: int = 2
     upsample: bool = False  # MATLAB does not upsample by default
     # TPU fast path: dense 8-bin orientation maps + row-gather descriptors
     # (frontend.dense_desc) instead of per-keypoint scalar-gather sampling.
@@ -116,6 +117,32 @@ class BAConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Loop closure (north-star extension; no reference counterpart — the
+    reference's trajectory drifts unbounded, 4500/map.png).
+
+    Candidates come from TWO channels OR'd together (slam.loop_closure):
+    metric pose proximity (``radius``) and appearance retrieval — cosine
+    similarity of a per-keyframe global descriptor (masked mean of its SIFT
+    descriptors, one matvec against the archive) — so closures still fire
+    when accumulated drift exceeds ``radius`` (VERDICT r2 item 5).
+    """
+
+    radius: float = 10.0  # meters — candidate gate on translation distance
+    min_gap: int = 20  # keyframes — skip recent neighbors
+    min_inliers: int = 25  # geometric verification threshold
+    match_capacity: int = 512
+    max_keyframes: int = 512  # node capacity of the global graph
+    max_loop_edges: int = 64
+    odometry_weight: float = 1.0
+    loop_weight: float = 30.0
+    graph_iters: int = 12
+    appearance: bool = True  # enable the appearance-retrieval channel
+    appearance_top_k: int = 2  # candidates proposed by appearance per keyframe
+    appearance_min_sim: float = 0.80  # cosine-similarity floor for proposals
+
+
+@dataclasses.dataclass(frozen=True)
 class MeshConfig:
     """Device-mesh layout for the distributed components."""
 
@@ -131,6 +158,7 @@ class PipelineConfig:
     ransac: RansacConfig = dataclasses.field(default_factory=RansacConfig)
     landmarks: LandmarkConfig = dataclasses.field(default_factory=LandmarkConfig)
     ba: BAConfig = dataclasses.field(default_factory=BAConfig)
+    loop: LoopConfig = dataclasses.field(default_factory=LoopConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     max_tracks: int = 1024  # capacity of the temporal-track arrays
     view_3d: bool = True  # the reference's single flag (VO.m:6)

@@ -129,6 +129,17 @@ class SyntheticSequence:
 
     Matches the surface of io.kitti.StereoSequence (frame(i) -> (left, right)
     float32 [H, W] in [0,1]) so the VO runner is agnostic to real vs synthetic.
+
+    Splats are PERSPECTIVE-CORRECT: each landmark is a fixed-physical-size
+    textured billboard whose rendered pixel extent scales with 1/depth. This
+    matters beyond realism — a fixed-pixel-size stamp puts the texture's DoG
+    extremum at a constant PIXEL offset from the true projection, which is a
+    different 3D point at every depth (lateral error = offset*z/f). That bias
+    is invisible frame-to-frame (~0.07 px) but systematic across a BA window
+    where depth changes 2-3x (~1 px), and was measured to make every window
+    solve reduce reprojection cost while degrading pose accuracy. With
+    depth-scaled splats the extremum is a fixed point on the billboard, so
+    observations are multi-view-consistent.
     """
 
     def __init__(
@@ -160,6 +171,9 @@ class SyntheticSequence:
         rng = np.random.default_rng(seed)
         self.landmarks = scatter_landmarks(rng, gt_poses, n_landmarks)
         self.patch = patch
+        # Reference depth at which a splat spans exactly ``patch`` pixels;
+        # the physical billboard size is patch * z_ref / f meters.
+        self.z_ref = 20.0
         # Per-landmark fingerprint texture: random pattern under a Gaussian
         # window gives each splat a distinctive SIFT descriptor, so descriptor
         # matching is unambiguous across views.
@@ -172,34 +186,47 @@ class SyntheticSequence:
         tex = rng.uniform(0.25, 1.0, size=(n_landmarks, patch, patch))
         sign = rng.choice([-1.0, 1.0], size=(n_landmarks, 1, 1))
         self.textures = (tex * window * sign).astype(np.float32)
+        # Zero-bordered copies for clean bilinear sampling at the splat edge
+        # (the Gaussian window makes the true border ~0 anyway).
+        self._tex_pad = np.zeros((n_landmarks, patch + 2, patch + 2), np.float32)
+        self._tex_pad[:, 1:-1, 1:-1] = self.textures
 
     def __len__(self) -> int:
         return self.gt_poses.shape[0]
 
     def _render(self, pts_cam: np.ndarray, P: np.ndarray) -> np.ndarray:
         H, W, p = self.H, self.W, self.patch
-        half = p // 2
-        img = np.full((H + 2 * p, W + 2 * p), 0.35, dtype=np.float32)
+        pad = 40  # must exceed the largest half-splat (scale clamp below)
+        img = np.full((H + 2 * pad, W + 2 * pad), 0.35, dtype=np.float32)
         vis = pts_cam[:, 2] > 1.0
         px = project_np(P, np.where(vis[:, None], pts_cam, np.array([0.0, 0.0, 10.0])))
         inb = vis & (px[:, 0] >= 1) & (px[:, 0] < W - 1) & (px[:, 1] >= 1) & (px[:, 1] < H - 1)
-        # Depth-sorted far-to-near so near splats overwrite-ish (additive here).
         for i in np.flatnonzero(inb):
             u, v = px[i]
-            iu, iv = int(np.floor(u)), int(np.floor(v))
-            fu, fv = u - iu, v - iv
-            # Bilinear subpixel splat of the landmark's texture.
-            w00 = (1 - fu) * (1 - fv)
-            w10 = fu * (1 - fv)
-            w01 = (1 - fu) * fv
-            w11 = fu * fv
-            t = self.textures[i]
-            r0, c0 = iv - half + p, iu - half + p
-            img[r0 : r0 + p, c0 : c0 + p] += w00 * t
-            img[r0 : r0 + p, c0 + 1 : c0 + p + 1] += w10 * t
-            img[r0 + 1 : r0 + p + 1, c0 : c0 + p] += w01 * t
-            img[r0 + 1 : r0 + p + 1, c0 + 1 : c0 + p + 1] += w11 * t
-        return np.clip(img[p : p + H, p : p + W], 0.0, 1.0)
+            # Perspective-correct magnification: texture pixels -> image
+            # pixels at z_ref/z, clamped so far splats stay detectable and
+            # near splats fit the padding.
+            s = float(np.clip(self.z_ref / pts_cam[i, 2], 3.0 / p, (2 * pad - 4) / (2.0 * p)))
+            h = 0.5 * p * s
+            r0, r1 = int(np.ceil(v - h)), int(np.floor(v + h))
+            c0, c1 = int(np.ceil(u - h)), int(np.floor(u + h))
+            # Texture coordinates of each output pixel (inverse warp) +1 for
+            # the zero border of _tex_pad; bilinear sample.
+            ty = (np.arange(r0, r1 + 1) - v) / s + (p - 1) * 0.5 + 1.0
+            tx = (np.arange(c0, c1 + 1) - u) / s + (p - 1) * 0.5 + 1.0
+            iy = np.clip(np.floor(ty).astype(np.int64), 0, p)
+            ix = np.clip(np.floor(tx).astype(np.int64), 0, p)
+            fy = (ty - iy)[:, None]
+            fx = (tx - ix)[None, :]
+            T = self._tex_pad[i]
+            vals = (
+                T[np.ix_(iy, ix)] * (1 - fy) * (1 - fx)
+                + T[np.ix_(iy + 1, ix)] * fy * (1 - fx)
+                + T[np.ix_(iy, ix + 1)] * (1 - fy) * fx
+                + T[np.ix_(iy + 1, ix + 1)] * fy * fx
+            )
+            img[r0 + pad : r1 + 1 + pad, c0 + pad : c1 + 1 + pad] += vals.astype(np.float32)
+        return np.clip(img[pad : pad + H, pad : pad + W], 0.0, 1.0)
 
     def frame(self, i: int):
         pose = self.gt_poses[i]

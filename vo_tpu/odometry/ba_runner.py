@@ -44,7 +44,11 @@ def _triangulate_rectified_np(l_px: np.ndarray, r_px: np.ndarray, calib: StereoC
 class Keyframe:
     frame_idx: int
     pose_c2w: np.ndarray  # [4, 4]
-    ids: np.ndarray  # [C] int32 (-1 invalid)
+    # [C] integer track ids, -1 invalid. On the associator path this is the
+    # int64 array SHARED with WindowAssociator._slot_tids, canonicalized
+    # in place as later keyframes merge tracks (safe: single worker thread);
+    # the non-associator path stores an int32 copy.
+    ids: np.ndarray
     l_px: np.ndarray  # [C, 2]
     r_px: np.ndarray  # [C, 2]
     mask: np.ndarray  # [C]
@@ -122,6 +126,15 @@ class WindowAssociator:
                 continue
             for j in np.flatnonzero(st >= 0):
                 st[j] = self._find(int(st[j]))
+        # Mark-and-sweep: every slot is fully canonicalized (all stored ids
+        # are roots), so parent entries not referenced by any live slot can
+        # never be reached again — drop them or _parent grows without bound
+        # over long runs (ADVICE r2).
+        live = set()
+        for st in self._slot_tids:
+            if st is not None:
+                live.update(int(t) for t in st[st >= 0])
+        self._parent = {t: t for t in live}
         return self._slot_tids[slot]
 
 

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
+from collections import defaultdict
 from typing import Optional
 
 import numpy as np
@@ -90,9 +92,9 @@ class RefinerWorker:
         else:
             self.associator = None
         if use_loop_closure:
-            from ..slam.loop_closure import LoopCloser, LoopConfig
+            from ..slam.loop_closure import LoopCloser
 
-            self.lclo = LoopCloser(calib, LoopConfig())
+            self.lclo = LoopCloser(calib, cfg.loop, matcher=cfg.matcher)
         # frame_idx -> latest corrected [4,4] pose (worker-owned, lock-guarded)
         self._kf_corrected: dict[int, np.ndarray] = {}
         self._kf_order: list[int] = []
@@ -102,6 +104,7 @@ class RefinerWorker:
         self._error: Optional[BaseException] = None
         self._loops_closed = 0
         self._ba_solves = 0
+        self._phase_s: defaultdict = defaultdict(float)  # worker-phase seconds
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -171,6 +174,7 @@ class RefinerWorker:
         s = dict(loops_closed=self._loops_closed, ba_solves=self._ba_solves)
         if self.wba is not None:
             s["ba_rejected"] = self.wba.n_rejected
+        s.update({f"worker_{k}_s": round(v, 3) for k, v in self._phase_s.items()})
         return s
 
     def close(self) -> None:
@@ -198,6 +202,7 @@ class RefinerWorker:
                 self._q.task_done()
 
     def _process(self, job: _KeyframeJob) -> None:
+        t0 = time.perf_counter()
         pose = np.asarray(job.pose, np.float32)
         l_xy = np.asarray(job.l_xy, np.float32)
         r_xy = np.asarray(job.r_xy, np.float32)
@@ -206,10 +211,12 @@ class RefinerWorker:
         with self._lock:
             self._kf_corrected[job.frame_idx] = pose
             self._kf_order.append(job.frame_idx)
+        self._phase_s["copy"] += time.perf_counter() - t0
 
         if self.lclo is not None:
             from ..slam.loop_closure import ArchivedKeyframe
 
+            t0 = time.perf_counter()
             res = self.lclo.add_keyframe(
                 ArchivedKeyframe(
                     frame_idx=job.frame_idx,
@@ -220,6 +227,7 @@ class RefinerWorker:
                     mask=mask,
                 )
             )
+            self._phase_s["loop_closure"] += time.perf_counter() - t0
             if res is not None:
                 self._loops_closed += 1
                 with self._lock:
@@ -232,6 +240,7 @@ class RefinerWorker:
             # BA sees the loop-corrected pose if a closure just fired.
             with self._lock:
                 cur_pose = self._kf_corrected[job.frame_idx].copy()
+            t0 = time.perf_counter()
             if job.assoc is not None:
                 slot, m_a, m_b, m_ok = job.assoc
                 tids = self.associator.add(
@@ -243,6 +252,7 @@ class RefinerWorker:
                 )
             else:
                 tids = np.asarray(job.ids, np.int32)
+            self._phase_s["associate"] += time.perf_counter() - t0
             self.wba.add_keyframe(
                 Keyframe(
                     frame_idx=job.frame_idx,
@@ -255,7 +265,9 @@ class RefinerWorker:
                     mask=mask,
                 )
             )
+            t0 = time.perf_counter()
             ba_res = self.wba.optimize()
+            self._phase_s["ba_solve"] += time.perf_counter() - t0
             if ba_res is not None:
                 self._ba_solves += 1
                 with self._lock:

@@ -212,6 +212,16 @@ def run_sequence(
             rd = rd.at[pos].set(new_desc)
             rm = rm.at[pos].set(new_mask)
             return rd, rm, a, b, ok
+
+        if warmup:
+            # Compile on the zero ring now: otherwise the compile lands inside
+            # the timed loop at the first keyframe (ADVICE r2).
+            w = kf_assoc(
+                ring_desc, ring_mask, jnp.zeros((Cw, 128), jnp.float32),
+                jnp.zeros(Cw, bool), jnp.int32(0),
+            )
+            jax.block_until_ready(w[2])
+            del w
     gt_poses = getattr(seq, "gt_poses", None)
     if viz_every and viz_dir:
         os.makedirs(viz_dir, exist_ok=True)
@@ -226,6 +236,7 @@ def run_sequence(
     )
     hist = _DeviceHistory() if deferred else None
     ke = cfg.ba.keyframe_every
+    wait_s = 0.0  # main-thread time blocked on the refiner (lock-step waits)
     t0 = time.perf_counter()
     for i in range(start_frame, n):
         t_frame = time.perf_counter()
@@ -234,7 +245,9 @@ def run_sequence(
         if refiner is not None and i > 0 and i % ke == 0:
             # Lock-step: the job submitted at the previous keyframe has had
             # ``ke`` frames of wall time; normally this returns immediately.
+            t_wait = time.perf_counter()
             refiner.wait_pending()
+            wait_s += time.perf_counter() - t_wait
             d = refiner.pop_delta()
             if d is not None:
                 state = state._replace(
@@ -349,6 +362,7 @@ def run_sequence(
     if refiner is not None:
         refiner.close()
         refine_stats = dict(refiner.stats)
+        refine_stats["main_wait_s"] = round(wait_s, 3)
         kf_idx, kf_poses = refiner.corrected_keyframes()
         # History row for frame i is i-1 (all_poses convention, VO.m:133).
         rows = kf_idx - 1

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ba import pose_graph as pg
-from ..config import MatcherConfig, RansacConfig
+from ..config import LoopConfig, MatcherConfig, RansacConfig
 from ..frontend.match import match
 from ..geom.camera import StereoCalib
 from ..geom.triangulate import triangulate_rectified
@@ -39,18 +39,7 @@ from ..pose.ransac import estimate_world_pose
 
 logger = logging.getLogger(__name__)
 
-
-@dataclasses.dataclass(frozen=True)
-class LoopConfig:
-    radius: float = 10.0  # meters — candidate gate on translation distance
-    min_gap: int = 20  # keyframes — skip recent neighbors
-    min_inliers: int = 25  # geometric verification threshold
-    match_capacity: int = 512
-    max_keyframes: int = 512  # node capacity of the global graph
-    max_loop_edges: int = 64
-    odometry_weight: float = 1.0
-    loop_weight: float = 30.0
-    graph_iters: int = 12
+__all__ = ["LoopConfig", "ArchivedKeyframe", "LoopCloser"]  # LoopConfig lives in config
 
 
 @dataclasses.dataclass
@@ -61,6 +50,21 @@ class ArchivedKeyframe:
     r_px: np.ndarray
     l_desc: np.ndarray
     mask: np.ndarray
+    global_desc: np.ndarray | None = None  # [128] masked-mean SIFT desc, unit norm
+
+
+def _global_desc(l_desc: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Unit-norm masked mean of the keyframe's SIFT descriptors (BoW-lite).
+
+    Individual SIFT descriptors are unit-ish and non-negative, so the mean
+    over a few hundred of them is a stable scene signature: cosine similarity
+    between revisits of the same place stays high while drift moves the pose
+    arbitrarily far. One [K, 128] @ [128] matvec retrieves over the archive.
+    """
+    m = mask.astype(np.float32)[:, None]
+    s = (l_desc * m).sum(axis=0) / max(float(m.sum()), 1.0)
+    n = float(np.linalg.norm(s))
+    return (s / n if n > 1e-12 else s).astype(np.float32)
 
 
 class LoopCloser:
@@ -82,17 +86,33 @@ class LoopCloser:
         self._key = jax.random.PRNGKey(17)
 
     # -- detection ----------------------------------------------------------
-    def _candidates(self, pose: np.ndarray) -> list[int]:
+    def _candidates(self, pose: np.ndarray, gdesc: np.ndarray | None = None) -> list[int]:
+        """Union of the metric-proximity and appearance-retrieval channels.
+
+        Proximity alone fails under exactly the drift closure exists to fix
+        (the reference drifts 41 m, 4500/error.png, vs the 10 m radius);
+        appearance retrieval is drift-independent (VERDICT r2 item 5).
+        """
         t = pose[:3, 3]
-        out = []
-        horizon = len(self.keyframes) - self.cfg.min_gap
-        for k in range(max(0, horizon)):
+        horizon = max(0, len(self.keyframes) - self.cfg.min_gap)
+        near = []
+        for k in range(horizon):
             d = np.linalg.norm(self.keyframes[k].pose_c2w[:3, 3] - t)
             if d < self.cfg.radius:
-                out.append(k)
+                near.append(k)
         # Nearest few only.
-        out.sort(key=lambda k: np.linalg.norm(self.keyframes[k].pose_c2w[:3, 3] - t))
-        return out[:3]
+        near.sort(key=lambda k: np.linalg.norm(self.keyframes[k].pose_c2w[:3, 3] - t))
+        out = near[:3]
+        if self.cfg.appearance and gdesc is not None and horizon > 0:
+            G = np.stack(
+                [self.keyframes[k].global_desc for k in range(horizon)]
+            )  # [K, 128], unit rows
+            sim = G @ gdesc
+            order = np.argsort(-sim)[: self.cfg.appearance_top_k]
+            for k in order:
+                if sim[k] >= self.cfg.appearance_min_sim and int(k) not in out:
+                    out.append(int(k))
+        return out
 
     # -- verification -------------------------------------------------------
     def _verify(self, cand: ArchivedKeyframe, cur: ArchivedKeyframe) -> Optional[np.ndarray]:
@@ -131,11 +151,13 @@ class LoopCloser:
         keeps covering the whole trajectory at half temporal resolution, so
         arbitrarily long sequences stay closable (KITTI 00 is 4,541 frames).
         """
+        if kf.global_desc is None:
+            kf.global_desc = _global_desc(kf.l_desc, kf.mask)
         self.keyframes.append(kf)
         if len(self.keyframes) > self.cfg.max_keyframes:
             self._decimate()
         cur_k = len(self.keyframes) - 1
-        for k in self._candidates(kf.pose_c2w):
+        for k in self._candidates(kf.pose_c2w, kf.global_desc):
             Z = self._verify(self.keyframes[k], kf)
             if Z is None:
                 continue
