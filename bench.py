@@ -69,18 +69,23 @@ class _Preloaded:
         return self.frames[i]
 
 
-def preload_cached(calib, poses, n_frames: int, n_landmarks: int, seed: int = 0) -> _Preloaded:
+def preload_cached(
+    calib, poses, n_frames: int, n_landmarks: int, seed: int = 0, image_size=None
+) -> _Preloaded:
     """Render (or reload) a synthetic sequence, cached under /tmp.
 
     The cache stores the GT poses it was rendered with and is invalidated on
     mismatch — a stale cache from an older trajectory generator must never be
-    evaluated against new GT (ADVICE r2). Rendering is also re-triggered by
-    bumping _RENDER_V when the renderer itself changes.
+    evaluated against new GT (ADVICE r2). The v2 name tag marks the
+    perspective-correct renderer; bump it when the renderer changes.
     """
     from vo_tpu.io import synthetic
 
-    seq = synthetic.SyntheticSequence(calib, poses, n_landmarks=n_landmarks, seed=seed)
-    cache = f"/tmp/longrun_frames_v2_{n_frames}_{n_landmarks}_{seed}.npz"
+    seq = synthetic.SyntheticSequence(
+        calib, poses, n_landmarks=n_landmarks, seed=seed, image_size=image_size
+    )
+    sz = "" if image_size is None else f"_{image_size[0]}x{image_size[1]}"
+    cache = f"/tmp/longrun_frames_v2_{n_frames}_{n_landmarks}_{seed}{sz}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
         if "poses" in z and z["poses"].shape == poses.shape and np.allclose(z["poses"], poses):

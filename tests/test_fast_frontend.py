@@ -60,10 +60,18 @@ def test_fast_path_matches_across_views(stereo_pair):
 
 
 def test_fast_and_exact_find_same_keypoints(stereo_pair):
-    """Detection (pre-descriptor) is identical code; keypoint sets must agree."""
+    """Detection (pre-descriptor) is identical code; keypoint sets must agree.
+
+    Pinned to n_orientations=1: multi-peak duplicates depend on the
+    orientation histogram, which the fast (dense bin-map) and exact
+    (per-keypoint sampling) paths legitimately compute differently."""
     l0, _, _ = stereo_pair
-    fast = _detect(l0, SIFTConfig(max_keypoints=256, n_octaves=2, fast_descriptor=True))
-    exact = _detect(l0, SIFTConfig(max_keypoints=256, n_octaves=2, fast_descriptor=False))
+    fast = _detect(
+        l0, SIFTConfig(max_keypoints=256, n_octaves=2, fast_descriptor=True, n_orientations=1)
+    )
+    exact = _detect(
+        l0, SIFTConfig(max_keypoints=256, n_octaves=2, fast_descriptor=False, n_orientations=1)
+    )
     np.testing.assert_allclose(np.asarray(fast.xy), np.asarray(exact.xy), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(fast.mask), np.asarray(exact.mask))
 

@@ -42,6 +42,7 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=200)
     ap.add_argument("--landmarks", type=int, default=9000)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--half", action="store_true", help="half-resolution frames (fast CPU diagnosis)")
     args = ap.parse_args()
 
     import jax
@@ -59,7 +60,8 @@ def main() -> None:
 
     calib = kitti.load_stereo_calib("/root/reference/kitti/00")
     poses = out_and_back_poses(args.frames)
-    pre = load_or_render(calib, poses, args.frames, args.landmarks)
+    pre = load_or_render(calib, poses, args.frames, args.landmarks,
+                         image_size=(188, 620) if args.half else None)
 
     # GT in the runner's frame (estimate chains from identity at frame 0).
     G0inv = np.linalg.inv(poses[0])

@@ -39,11 +39,13 @@ def out_and_back_poses(n_frames: int) -> np.ndarray:
     return np.concatenate([fwd, back])[:n_frames]
 
 
-def load_or_render(calib, poses: np.ndarray, n_frames: int, n_landmarks: int, seed: int = 0):
+def load_or_render(
+    calib, poses: np.ndarray, n_frames: int, n_landmarks: int, seed: int = 0, image_size=None
+):
     """Pose-validated rendered-frame cache (see bench.preload_cached)."""
     from bench import preload_cached
 
-    return preload_cached(calib, poses, n_frames, n_landmarks, seed)
+    return preload_cached(calib, poses, n_frames, n_landmarks, seed, image_size=image_size)
 
 
 def main() -> None:

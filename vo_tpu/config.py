@@ -94,13 +94,19 @@ class BAConfig:
     max_points: int = 4096  # landmark capacity in the window
     iters: int = 8
     damping: float = 1e-3
-    huber_px: float = 2.0
+    huber_px: float = 1.0
     keyframe_every: int = 5
     # Assembly-time reprojection gate: tracked observations are NOT RANSAC-
     # verified, and one mis-associated track (100s of px of residual) can
     # out-lever every inlier in the window. Drift within a short window is
     # far below this gate; mis-associations are far above it.
     obs_gate_px: float = 12.0
+    # Adaptive track-consistency gate (ba_runner._assemble): drop tracks
+    # whose worst window residual exceeds mult x the median track maximum
+    # (floored) — sub-pixel-biased tracks that pass the obs gate but are
+    # not consistent with any single 3D point.
+    track_gate_mult: float = 2.5
+    track_gate_floor_px: float = 1.0
     # Trust-region prior pulling each window pose toward its VO-chained
     # initial value (units: 1/sigma^2; sigma_t = 5 cm, sigma_r ~ 0.5 deg).
     # The VO initials come from hundreds of RANSAC-verified correspondences

@@ -130,16 +130,33 @@ class SyntheticSequence:
     Matches the surface of io.kitti.StereoSequence (frame(i) -> (left, right)
     float32 [H, W] in [0,1]) so the VO runner is agnostic to real vs synthetic.
 
-    Splats are PERSPECTIVE-CORRECT: each landmark is a fixed-physical-size
-    textured billboard whose rendered pixel extent scales with 1/depth. This
-    matters beyond realism — a fixed-pixel-size stamp puts the texture's DoG
-    extremum at a constant PIXEL offset from the true projection, which is a
-    different 3D point at every depth (lateral error = offset*z/f). That bias
-    is invisible frame-to-frame (~0.07 px) but systematic across a BA window
-    where depth changes 2-3x (~1 px), and was measured to make every window
-    solve reduce reprojection cost while degrading pose accuracy. With
-    depth-scaled splats the extremum is a fixed point on the billboard, so
-    observations are multi-view-consistent.
+    Splats are ANALYTIC GAUSSIAN MIXTURES with a DOMINANT CENTER BLOB,
+    rendered at fixed pixel scale (``perspective_splats=False``, default).
+    The design is the result of measured failure analysis:
+
+    - A uniformly random fixed-size texture stamp (no dominant center) puts
+      the DoG extremum at a ~1 px random offset d from the true projection.
+      d is constant in PIXELS, so the tracked point is a different 3D point
+      at every depth (lateral error d*z/f): invisible frame-to-frame
+      (~0.07 px) but systematic across a BA window where depth changes 2-3x
+      (~1 px reprojection inconsistency) — measured to make every window-BA
+      solve reduce cost while degrading pose accuracy.
+    - Perspective-scaled splats remove that bias in principle, but destroy
+      matching in practice: under minification the texture aliases (point
+      sampling) or washes out (bandlimited), scale-varying appearance
+      spreads detections across octaves, and overlapping splats at
+      different depths mix view-dependently. An OpenCV SIFT control matched
+      as badly as this engine's frontend on such frames (median ~30 deg
+      orientation disagreement between true stereo partners), confirming
+      the scene, not the detector, was at fault.
+
+    The fix: keep fixed-size splats (identical appearance in every view =>
+    maximal descriptor consistency) and pin the extremum to the projection
+    center with a dominant center Gaussian; weaker random side bumps give
+    orientation stability and descriptor distinctiveness while perturbing
+    the extremum only ~0.1-0.2 px — pushing the depth-coupled bias below
+    detection noise. Mixtures are evaluated analytically (separable
+    closed-form Gaussians), so there is no stamp-phase resampling blur.
     """
 
     def __init__(
@@ -151,6 +168,7 @@ class SyntheticSequence:
         patch: int = 9,
         seed: int = 0,
         image_size: tuple | None = None,
+        perspective_splats: bool = False,
     ):
         if image_size is not None and tuple(image_size) != tuple(calib.image_size):
             # Keep the field of view sensible at reduced test resolutions:
@@ -171,25 +189,33 @@ class SyntheticSequence:
         rng = np.random.default_rng(seed)
         self.landmarks = scatter_landmarks(rng, gt_poses, n_landmarks)
         self.patch = patch
-        # Reference depth at which a splat spans exactly ``patch`` pixels;
-        # the physical billboard size is patch * z_ref / f meters.
+        self.perspective_splats = perspective_splats
+        # Perspective mode only: depth at which a splat spans ``patch`` px.
         self.z_ref = 20.0
-        # Per-landmark fingerprint texture: random pattern under a Gaussian
-        # window gives each splat a distinctive SIFT descriptor, so descriptor
-        # matching is unambiguous across views.
-        g = np.exp(
-            -0.5
-            * (np.arange(patch) - patch // 2) ** 2
-            / (patch / 3.5) ** 2
-        )
-        window = np.outer(g, g)
-        tex = rng.uniform(0.25, 1.0, size=(n_landmarks, patch, patch))
-        sign = rng.choice([-1.0, 1.0], size=(n_landmarks, 1, 1))
-        self.textures = (tex * window * sign).astype(np.float32)
-        # Zero-bordered copies for clean bilinear sampling at the splat edge
-        # (the Gaussian window makes the true border ~0 anyway).
-        self._tex_pad = np.zeros((n_landmarks, patch + 2, patch + 2), np.float32)
-        self._tex_pad[:, 1:-1, 1:-1] = self.textures
+        self.sigma_aa = 0.6  # anti-alias filter stddev, output px
+        # Per-landmark Gaussian-mixture fingerprint, in TEXEL units:
+        #   bump 0 — dominant center blob: pins the DoG extremum to the
+        #            projection center (the bias fix, see class docstring);
+        #            its randomized scale is a coarse per-landmark signature;
+        #   bumps 1+ — moderate random side bumps: orientation stability +
+        #            descriptor distinctiveness; their amplitude is kept
+        #            below the center blob so the extremum shift stays
+        #            ~0.1-0.2 px.
+        K = 10
+        half = patch * 0.5 - 1.0
+        cy = rng.uniform(-half, half, size=(n_landmarks, K)).astype(np.float32)
+        cx = rng.uniform(-half, half, size=(n_landmarks, K)).astype(np.float32)
+        cy[:, 0] = 0.0
+        cx[:, 0] = 0.0
+        sig = rng.uniform(0.8, 1.6, size=(n_landmarks, K)).astype(np.float32)
+        sig[:, 0] = rng.uniform(2.0, 3.0, size=n_landmarks)
+        amp = (
+            rng.uniform(0.22, 0.4, size=(n_landmarks, K))
+            * rng.choice([-1.0, 1.0], size=(n_landmarks, K))
+        ).astype(np.float32)
+        amp[:, 0] = 0.62 * np.sign(amp[:, 0])
+        self._bump_cy, self._bump_cx = cy, cx
+        self._bump_sig, self._bump_amp = sig, amp
 
     def __len__(self) -> int:
         return self.gt_poses.shape[0]
@@ -201,31 +227,33 @@ class SyntheticSequence:
         vis = pts_cam[:, 2] > 1.0
         px = project_np(P, np.where(vis[:, None], pts_cam, np.array([0.0, 0.0, 10.0])))
         inb = vis & (px[:, 0] >= 1) & (px[:, 0] < W - 1) & (px[:, 1] >= 1) & (px[:, 1] < H - 1)
+        s2aa = self.sigma_aa**2
         for i in np.flatnonzero(inb):
             u, v = px[i]
-            # Perspective-correct magnification: texture pixels -> image
-            # pixels at z_ref/z, clamped so far splats stay detectable and
-            # near splats fit the padding.
-            s = float(np.clip(self.z_ref / pts_cam[i, 2], 3.0 / p, (2 * pad - 4) / (2.0 * p)))
-            h = 0.5 * p * s
+            # Fixed pixel scale by default (see class docstring); optional
+            # perspective magnification, clamped to the padding.
+            s = (
+                min(self.z_ref / float(pts_cam[i, 2]), (pad - 4.0) / p)
+                if self.perspective_splats
+                else 1.0
+            )
+            # Bump geometry in image px; the AA filter is folded into each
+            # variance, amplitudes scaled as a true Gaussian prefilter.
+            oy = self._bump_cy[i] * s
+            ox = self._bump_cx[i] * s
+            var = (self._bump_sig[i] * s) ** 2 + s2aa  # [K]
+            amp = self._bump_amp[i] * (self._bump_sig[i] * s) ** 2 / var
+            h = float(s * (0.5 * p) + 3.0 * np.sqrt(var.max()))
             r0, r1 = int(np.ceil(v - h)), int(np.floor(v + h))
             c0, c1 = int(np.ceil(u - h)), int(np.floor(u + h))
-            # Texture coordinates of each output pixel (inverse warp) +1 for
-            # the zero border of _tex_pad; bilinear sample.
-            ty = (np.arange(r0, r1 + 1) - v) / s + (p - 1) * 0.5 + 1.0
-            tx = (np.arange(c0, c1 + 1) - u) / s + (p - 1) * 0.5 + 1.0
-            iy = np.clip(np.floor(ty).astype(np.int64), 0, p)
-            ix = np.clip(np.floor(tx).astype(np.int64), 0, p)
-            fy = (ty - iy)[:, None]
-            fx = (tx - ix)[None, :]
-            T = self._tex_pad[i]
-            vals = (
-                T[np.ix_(iy, ix)] * (1 - fy) * (1 - fx)
-                + T[np.ix_(iy + 1, ix)] * fy * (1 - fx)
-                + T[np.ix_(iy, ix + 1)] * (1 - fy) * fx
-                + T[np.ix_(iy + 1, ix + 1)] * fy * fx
-            )
-            img[r0 + pad : r1 + 1 + pad, c0 + pad : c1 + 1 + pad] += vals.astype(np.float32)
+            r0, r1 = max(r0, -pad), min(r1, H + pad - 1)
+            c0, c1 = max(c0, -pad), min(c1, W + pad - 1)
+            dy = (np.arange(r0, r1 + 1) - v)[:, None] - oy[None, :]  # [By, K]
+            dx = (np.arange(c0, c1 + 1) - u)[:, None] - ox[None, :]  # [Bx, K]
+            inv2v = 0.5 / var
+            gy = np.exp(-dy * dy * inv2v) * amp  # amplitude folded into y factor
+            gx = np.exp(-dx * dx * inv2v)
+            img[r0 + pad : r1 + 1 + pad, c0 + pad : c1 + 1 + pad] += gy @ gx.T
         return np.clip(img[pad : pad + H, pad : pad + W], 0.0, 1.0)
 
     def frame(self, i: int):

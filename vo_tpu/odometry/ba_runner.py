@@ -218,6 +218,7 @@ class WindowedBA:
         # Reprojection pre-gate: drop gross-outlier observations
         # (mis-associated tracks) before they can lever the solve.
         P = np.asarray(self.calib.P1, np.float64)
+        err_km = np.zeros((K, M), np.float64)  # per-obs residual under VO poses
         for k, kf in enumerate(kfs):
             Rw = kf.pose_c2w[:3, :3]
             t = kf.pose_c2w[:3, 3]
@@ -237,6 +238,21 @@ class WindowedBA:
                 | (err_r > self.cfg.obs_gate_px)
             )
             obs_mask[k, bad] = False
+            err_km[k] = np.where(obs_mask[k], np.maximum(err, err_r), 0.0)
+        # Adaptive track-consistency gate: a track whose worst residual under
+        # the VO-chained poses is far above the population's is either
+        # mis-associated or anchored to a feature that does not track a
+        # single 3D point (e.g. a texture extremum off the surface point);
+        # such tracks bias the solve coherently while honest drift affects
+        # all tracks alike. The threshold adapts to the window's drift level
+        # (median of per-track maxima), with a floor so detection noise is
+        # never gated.
+        track_max = err_km.max(axis=0)
+        active = X_seen & (obs_mask.sum(axis=0) >= 2)
+        if active.any():
+            med = float(np.median(track_max[active]))
+            gate = max(self.cfg.track_gate_mult * med, self.cfg.track_gate_floor_px)
+            obs_mask[:, active & (track_max > gate)] = False
         X_mask = X_seen & (obs_mask.sum(axis=0) >= 2)
         if X_mask.sum() < 12:
             return None
