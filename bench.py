@@ -76,8 +76,8 @@ def preload_cached(
 
     The cache stores the GT poses it was rendered with and is invalidated on
     mismatch — a stale cache from an older trajectory generator must never be
-    evaluated against new GT (ADVICE r2). The v2 name tag marks the
-    perspective-correct renderer; bump it when the renderer changes.
+    evaluated against new GT (ADVICE r2). The v3 name tag marks the
+    opaque-composite renderer; bump it whenever the renderer changes.
     """
     from vo_tpu.io import synthetic
 
@@ -85,14 +85,17 @@ def preload_cached(
         calib, poses, n_landmarks=n_landmarks, seed=seed, image_size=image_size
     )
     sz = "" if image_size is None else f"_{image_size[0]}x{image_size[1]}"
-    cache = f"/tmp/longrun_frames_v2_{n_frames}_{n_landmarks}_{seed}{sz}.npz"
+    cache = f"/tmp/longrun_frames_v3_{n_frames}_{n_landmarks}_{seed}{sz}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
         if "poses" in z and z["poses"].shape == poses.shape and np.allclose(z["poses"], poses):
             pre = _Preloaded.__new__(_Preloaded)
             pre.calib = seq.calib
             pre.gt_poses = seq.gt_poses
-            pre.frames = [(z["l"][i], z["r"][i]) for i in range(n_frames)]
+            # Materialize each npz member ONCE: every z["l"] access loads a
+            # fresh full copy, and row views would pin one copy per frame.
+            L, R = z["l"], z["r"]
+            pre.frames = [(L[i], R[i]) for i in range(n_frames)]
             return pre
     t0 = time.perf_counter()
     pre = _Preloaded(seq, n_frames)

@@ -19,10 +19,12 @@ def loop_setup():
     fwd = gt[:10]
     back = gt[8::-1]
     poses = np.concatenate([fwd, back])  # 19 poses, ends where it started
+    # SyntheticSequence rescales the calibration itself (scale_calib): use
+    # seq.calib everywhere so the verifier's triangulation/P3P geometry
+    # matches the rendered frames.
     seq = synthetic.SyntheticSequence(
         calib, poses, n_landmarks=2500, seed=12, image_size=(160, 320)
     )
-    seq.calib = calib._replace(image_size=(160, 320))
     return seq, poses
 
 
@@ -48,13 +50,15 @@ def test_loop_detected_and_corrects_drift(loop_setup):
     cfg = LoopConfig(radius=8.0, min_gap=8, min_inliers=15, max_keyframes=32, graph_iters=10)
     lc = LoopCloser(seq.calib, cfg)
 
-    # Drift: grows linearly along x, reaching ~1.2 m by the last keyframe.
+    # Drift: grows linearly along x, reaching ~2.2 m by the last keyframe —
+    # clearly above LoopConfig.min_correction (closures exist for real
+    # drift; sub-gate discrepancies are skipped as verification noise).
     n = len(true_poses)
     corrected = None
     drifted_last = None
     for i in range(n):
         drift = np.eye(4, dtype=np.float32)
-        drift[0, 3] = 0.065 * i
+        drift[0, 3] = 0.12 * i
         drifted = (drift @ true_poses[i]).astype(np.float32)
         kf = _keyframe(seq, i, drifted, sift_cfg, mcfg)
         res = lc.add_keyframe(kf)
@@ -124,7 +128,6 @@ def test_no_false_loops_without_revisit(loop_setup):
         kitti.load_stereo_calib("/root/reference/kitti/00"),
         gt[:12], n_landmarks=1500, seed=3, image_size=(160, 320),
     )
-    seq2.calib = calib
     for i in range(12):
         kf = _keyframe(seq2, i, gt[i].astype(np.float32), sift_cfg, mcfg)
         assert lc.add_keyframe(kf) is None

@@ -1,0 +1,113 @@
+"""Reference-scale evaluation: the FULL KITTI 00 trajectory (4,541 poses).
+
+The reference's entire published evidence is drift over 4,500 real frames
+(/root/reference/4500/error.png, README.md:43-46). This runs the synthetic
+KITTI-00-geometry feed over the complete seq-00 GT trajectory — all loops,
+same scale — through the production configs, exercising:
+
+  - the LoopCloser decimation regime (908 keyframes at keyframe_every=5
+    vs max_keyframes=512 -> decimation fires, slam/loop_closure.py),
+  - the landmark store at reference scale,
+  - multi-hour drift behavior of VO vs VO+BA+closure,
+
+and writes BIGRUN_r{N}.json plus an error-vs-time curve figure directly
+comparable to the reference's 4500/error.png (viz.figures.error_curve).
+
+Usage: python tools/bigrun.py [--frames 4500] [--out BIGRUN_r03.json]
+       [--configs vo,vo_lc,vo_ba_lc] [--cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+ALL_CONFIGS = {
+    "vo": dict(use_ba=False, use_loop_closure=False),
+    "vo_lc": dict(use_ba=False, use_loop_closure=True),
+    "vo_ba": dict(use_ba=True, use_loop_closure=False),
+    "vo_ba_lc": dict(use_ba=True, use_loop_closure=True),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=4500)
+    ap.add_argument("--landmarks", type=int, default=None, help="default ~30 per GT pose")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--configs", default="vo,vo_lc,vo_ba_lc")
+    ap.add_argument("--fig-dir", default="figs")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from longrun import load_or_render  # noqa: E402 (tools/ sibling)
+
+    from vo_tpu.config import PipelineConfig
+    from vo_tpu.eval import metrics
+    from vo_tpu.io import kitti
+    from vo_tpu.odometry import runner
+    from vo_tpu.viz import figures
+
+    calib = kitti.load_stereo_calib("/root/reference/kitti/00")
+    gt = kitti.read_poses("/root/reference/kitti/poses/00.txt")[: args.frames]
+    times = kitti.read_times("/root/reference/kitti/00/times.txt")[: args.frames]
+    n = gt.shape[0]
+    n_lm = args.landmarks if args.landmarks else 30 * n
+    pre = load_or_render(calib, gt, n, n_lm)
+    pre.times = times
+
+    cfg = PipelineConfig()
+    os.makedirs(args.fig_dir, exist_ok=True)
+    results = {}
+    for name in args.configs.split(","):
+        kw = ALL_CONFIGS[name.strip()]
+        res = runner.run_sequence(pre, cfg, n_frames=n, **kw)
+        a = metrics.ate(res.poses, gt)
+        xz = metrics.xz_error(res.poses, gt)
+        results[name] = dict(
+            frames_per_sec=round(res.frames_per_sec, 2),
+            per_frame_ms=round(res.per_frame_ms, 2),
+            ate_rmse_m=round(a["rmse"], 4),
+            ate_max_m=round(a["max"], 4),
+            xz_mean_m=round(float(xz.mean()), 4),
+            xz_max_m=round(float(xz.max()), 4),
+            pose_ok_frac=round(float(res.pose_ok.mean()), 4),
+            **{k: v for k, v in res.refine_stats.items()},
+        )
+        print(name, json.dumps(results[name]), flush=True)
+        # The reference-comparable artifacts (4500/{error,map}.png).
+        figures.error_curve(
+            xz, times[1 : 1 + xz.shape[0]], path=os.path.join(args.fig_dir, f"error_{name}.png")
+        )
+        figures.trajectory_map(
+            res.poses, gt, path=os.path.join(args.fig_dir, f"map_{name}.png")
+        )
+
+    payload = dict(
+        n_frames=n,
+        n_landmarks=n_lm,
+        trajectory="full KITTI 00 GT trajectory (all loops)",
+        reference_anchor="4500/error.png: ~41 m max xz error, mean ~13-15 m at frame 4500",
+        device=str(jax.devices()[0].platform),
+        device_kind=str(getattr(jax.devices()[0], "device_kind", "?")),
+        configs=results,
+    )
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=2)
+            f.write("\n")
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

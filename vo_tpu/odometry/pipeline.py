@@ -193,10 +193,20 @@ def vo_step(
 
 
 def make_jitted_step(calib: StereoCalib, cfg: PipelineConfig):
-    """Compile the per-frame step once; returns step(state, left, right, key)."""
+    """Compile the per-frame step once; returns step(state, left, right, key).
+
+    Matmul precision is pinned to float32: TPU's bf16 default perturbs the
+    DoG pyramid enough to flicker ~10% of detections between runs/backends
+    and add subpixel jitter — harmless to RANSAC-guarded frame-to-frame VO
+    but fatal to window BA, whose multi-view observations must be
+    consistent at the ~0.1 px level (measured: identical window problems
+    solve identically on CPU/TPU, yet TPU-assembled problems carried 2x the
+    per-observation inconsistency and every solve degraded the window).
+    """
 
     @jax.jit
     def step(state, left, right, key):
-        return vo_step(state, left, right, key, calib, cfg)
+        with jax.default_matmul_precision("float32"):
+            return vo_step(state, left, right, key, calib, cfg)
 
     return step

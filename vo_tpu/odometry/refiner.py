@@ -4,23 +4,24 @@ Round-1 design ran windowed BA (odometry.ba_runner) and loop closure
 (slam.loop_closure) inline in the frame loop, which forced a blocking
 device->host read of the keyframe payload every keyframe — on a tunneled
 TPU the sync round trips dominated (~220 ms/frame measured vs a ~16 ms
-compiled step). Here the frame loop only
+compiled step). Here the frame loop only starts ASYNC host copies of the
+keyframe payload (pose + stereo features + descriptors) and enqueues the
+job; at the NEXT keyframe boundary it waits for the previous job (normally
+long finished — the worker had ``keyframe_every`` frames of wall time).
+The lock-step wait keeps results DETERMINISTIC regardless of thread timing.
 
-  1. starts ASYNC host copies of the keyframe payload (pose + stereo
-     features + descriptors) and enqueues the job, and
-  2. at the NEXT keyframe boundary, waits for the previous job (normally
-     long finished — the worker had ``keyframe_every`` frames of wall time)
-     and applies its rigid correction delta to the live pose with one tiny
-     host->device constant (no device->host read on the main thread).
-
-The lock-step "wait for the previous keyframe's job before submitting the
-next" rule keeps results DETERMINISTIC: the correction applied at keyframe
-k is always exactly the one produced by keyframe k-1's optimization,
-regardless of thread timing.
-
-The worker thread owns the WindowedBA / LoopCloser instances and maintains
-the corrected pose of every keyframe it has seen; at end of run the runner
-re-anchors the full trajectory onto those poses (odometry.correction).
+CORRECTIONS NEVER TOUCH THE LIVE CHAIN. The round-2 design left-multiplied
+each solve's rigid delta onto the live pose, which fed every solve's noise
+back into the next window's initialization; with the ~0.2-0.3 px residual
+observation inconsistency of any real frontend, that feedback loop
+compounded platform-dependently (measured: identical code, 0.04 m final
+ATE on CPU vs 1.7-3.5 m on TPU from sub-mm per-solve differences).
+Instead the worker keeps a cumulative world-frame correction ``D`` and
+maps each incoming chain pose into its own corrected frame (pose_corr =
+D @ pose_chain); the live loop stays pure VO (proven stable), while
+corrected keyframe poses drive loop-closure decisions and the end-of-run
+re-anchoring of the full trajectory (odometry.correction). Per-solve noise
+then stays independent per keyframe instead of integrating.
 
 No reference counterpart — the reference never refines (VO.m:130 chains
 raw relative poses; drift is visible in 4500/map.png).
@@ -98,7 +99,9 @@ class RefinerWorker:
         # frame_idx -> latest corrected [4,4] pose (worker-owned, lock-guarded)
         self._kf_corrected: dict[int, np.ndarray] = {}
         self._kf_order: list[int] = []
-        self._deltas: list[np.ndarray] = []  # rigid deltas not yet consumed
+        # Cumulative rigid correction mapping live-chain poses into the
+        # worker's corrected frame (worker-thread only; no lock needed).
+        self._D = np.eye(4, dtype=np.float64)
         self._lock = threading.Lock()
         self._q: queue.Queue = queue.Queue()
         self._error: Optional[BaseException] = None
@@ -143,21 +146,6 @@ class RefinerWorker:
             err, self._error = self._error, None
             raise err
 
-    def pop_delta(self) -> Optional[np.ndarray]:
-        """Composed rigid correction produced since the last pop, or None.
-
-        Left-multiply the live pose chain by this delta: it maps the as-run
-        pose of the newest optimized keyframe onto its corrected pose, so the
-        whole not-yet-corrected segment moves rigidly with it."""
-        with self._lock:
-            if not self._deltas:
-                return None
-            d = self._deltas[0]
-            for extra in self._deltas[1:]:
-                d = extra @ d
-            self._deltas.clear()
-        return d
-
     def corrected_keyframes(self) -> tuple[np.ndarray, np.ndarray]:
         """(frame_idx [K], poses [K,4,4]) — final corrected keyframe poses."""
         with self._lock:
@@ -174,6 +162,9 @@ class RefinerWorker:
         s = dict(loops_closed=self._loops_closed, ba_solves=self._ba_solves)
         if self.wba is not None:
             s["ba_rejected"] = self.wba.n_rejected
+        if self.lclo is not None:
+            s["loops_skipped_small"] = self.lclo.skipped_small
+            s["decimations"] = self.lclo.decimations
         s.update({f"worker_{k}_s": round(v, 3) for k, v in self._phase_s.items()})
         return s
 
@@ -203,7 +194,8 @@ class RefinerWorker:
 
     def _process(self, job: _KeyframeJob) -> None:
         t0 = time.perf_counter()
-        pose = np.asarray(job.pose, np.float32)
+        pose_chain = np.asarray(job.pose, np.float64)
+        pose = (self._D @ pose_chain).astype(np.float32)
         l_xy = np.asarray(job.l_xy, np.float32)
         r_xy = np.asarray(job.r_xy, np.float32)
         mask = np.asarray(job.mask, bool)
@@ -276,9 +268,8 @@ class RefinerWorker:
 
         with self._lock:
             final = self._kf_corrected[job.frame_idx]
-            if not np.allclose(final, snapshot, atol=1e-7):
-                self._deltas.append(
-                    (final.astype(np.float64) @ np.linalg.inv(snapshot.astype(np.float64))).astype(
-                        np.float32
-                    )
-                )
+        if not np.allclose(final, snapshot, atol=1e-7):
+            # Future chain poses are mapped through the updated correction.
+            self._D = (
+                final.astype(np.float64) @ np.linalg.inv(snapshot.astype(np.float64)) @ self._D
+            )

@@ -6,11 +6,12 @@ Host does IO + bookkeeping only; all math runs in the single jitted step.
 
 Refinement (BA / loop closure — north-star extensions, no reference
 counterpart) runs on a background worker (odometry.refiner): the frame loop
-submits keyframes with async device->host copies and applies the worker's
-rigid corrections one keyframe later; the full trajectory is re-anchored
-onto the corrected keyframes at end of run (odometry.correction). The main
-thread therefore never blocks on a device->host read, keeping the
-dispatch-ahead fast path intact with refinement enabled.
+submits keyframes with async device->host copies; corrections live entirely
+in the worker's frame (the live chain stays pure VO — see the refiner
+docstring for why), and the full trajectory is re-anchored onto the
+corrected keyframes at end of run (odometry.correction). The main thread
+therefore never blocks on a device->host read, keeping the dispatch-ahead
+fast path intact with refinement enabled.
 """
 from __future__ import annotations
 
@@ -135,9 +136,6 @@ def run_sequence(
         lambda m, lpx, rpx, msk, pose: lm_mod.insert(m, lpx, rpx, msk, pose, calib, cfg.landmarks),
         donate_argnums=0,
     )
-    # Rigid refinement delta applied to the live pose chain (one tiny
-    # host->device constant per correction; no device->host read).
-    apply_delta = jax.jit(lambda d, p: d @ p)
 
     def to_device(img):
         a = np.asarray(img)
@@ -205,7 +203,11 @@ def run_sequence(
         @jax.jit
         def kf_assoc(rd, rm, new_desc, new_mask, pos):
             def one(d, m):
-                r = _match(new_desc, new_mask, d, m, cfg.matcher, Cw)
+                # f32-pinned like the step: bf16 distance matrices flip
+                # marginal ratio/mutual decisions into mis-associations
+                # that bias the window solve.
+                with jax.default_matmul_precision("float32"):
+                    r = _match(new_desc, new_mask, d, m, cfg.matcher, Cw)
                 return r.a_idx, r.b_idx, r.mask
 
             a, b, ok = jax.vmap(one)(rd, rm)
@@ -245,14 +247,11 @@ def run_sequence(
         if refiner is not None and i > 0 and i % ke == 0:
             # Lock-step: the job submitted at the previous keyframe has had
             # ``ke`` frames of wall time; normally this returns immediately.
+            # Corrections stay in the worker's frame (refiner docstring);
+            # the live chain is pure VO.
             t_wait = time.perf_counter()
             refiner.wait_pending()
             wait_s += time.perf_counter() - t_wait
-            d = refiner.pop_delta()
-            if d is not None:
-                state = state._replace(
-                    pose_c2w=apply_delta(jnp.asarray(d, jnp.float32), state.pose_c2w)
-                )
         state, out = step(state, to_device(left), to_device(right), sub)
         if insert_landmarks:
             lmap = insert(lmap, out.new_lm_l_px, out.new_lm_r_px, out.new_lm_mask, out.pose_c2w)

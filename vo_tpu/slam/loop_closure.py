@@ -76,6 +76,8 @@ class LoopCloser:
         self.keyframes: list[ArchivedKeyframe] = []
         self.loop_edges: list[tuple[int, int, np.ndarray]] = []  # (old_k, new_k, Z)
         self.decimations = 0  # capacity-decimation count (observability)
+        self.skipped_small = 0  # closures skipped by the min_correction gate
+        self._cooldown_left = 0
         self._match = jax.jit(
             lambda da, ma, db, mb: match(da, ma, db, mb, self.matcher, cfg.match_capacity)
         )
@@ -156,16 +158,32 @@ class LoopCloser:
         self.keyframes.append(kf)
         if len(self.keyframes) > self.cfg.max_keyframes:
             self._decimate()
+        if self._cooldown_left > 0:
+            self._cooldown_left -= 1
+            return None
         cur_k = len(self.keyframes) - 1
         for k in self._candidates(kf.pose_c2w, kf.global_desc):
             Z = self._verify(self.keyframes[k], kf)
             if Z is None:
+                continue
+            # Benefit gate: the loop implies the current camera sits at
+            # cand_pose @ Z; if that only disagrees with the chained pose by
+            # less than min_correction, the "correction" is verification
+            # noise — skip rather than degrade an accurate trajectory.
+            implied = self.keyframes[k].pose_c2w @ Z
+            disc = float(np.linalg.norm(implied[:3, 3] - kf.pose_c2w[:3, 3]))
+            if disc < self.cfg.min_correction:
+                self.skipped_small += 1
+                # Short cooldown only: drift keeps growing, so a revisit that
+                # is "too consistent" now may deserve a closure soon.
+                self._cooldown_left = max(self._cooldown_left, 2)
                 continue
             self.loop_edges.append((k, cur_k, Z))
             if len(self.loop_edges) > self.cfg.max_loop_edges:
                 self.loop_edges.pop(0)
             corrected = self._solve_graph()
             if corrected is not None:
+                self._cooldown_left = self.cfg.cooldown
                 return dict(corrected=corrected, loop=(k, cur_k))
         return None
 
