@@ -70,7 +70,7 @@ class _Preloaded:
 
 
 def preload_cached(
-    calib, poses, n_frames: int, n_landmarks: int, seed: int = 0, image_size=None
+    calib, poses, n_frames: int, n_landmarks: int, seed: int = 0, image_size=None, noise: float = 0.0
 ) -> _Preloaded:
     """Render (or reload) a synthetic sequence, cached under /tmp.
 
@@ -82,10 +82,11 @@ def preload_cached(
     from vo_tpu.io import synthetic
 
     seq = synthetic.SyntheticSequence(
-        calib, poses, n_landmarks=n_landmarks, seed=seed, image_size=image_size
+        calib, poses, n_landmarks=n_landmarks, seed=seed, image_size=image_size, noise=noise
     )
     sz = "" if image_size is None else f"_{image_size[0]}x{image_size[1]}"
-    cache = f"/tmp/longrun_frames_v3_{n_frames}_{n_landmarks}_{seed}{sz}.npz"
+    nz = "" if noise == 0.0 else f"_n{noise:g}"
+    cache = f"/tmp/longrun_frames_v3_{n_frames}_{n_landmarks}_{seed}{sz}{nz}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
         if "poses" in z and z["poses"].shape == poses.shape and np.allclose(z["poses"], poses):

@@ -39,6 +39,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=4500)
     ap.add_argument("--landmarks", type=int, default=None, help="default ~30 per GT pose")
+    ap.add_argument("--noise", type=float, default=0.02, help="sensor noise stddev ([0,1] units)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--configs", default="vo,vo_lc,vo_ba_lc")
     ap.add_argument("--fig-dir", default="figs")
@@ -63,7 +64,7 @@ def main() -> None:
     times = kitti.read_times("/root/reference/kitti/00/times.txt")[: args.frames]
     n = gt.shape[0]
     n_lm = args.landmarks if args.landmarks else 30 * n
-    pre = load_or_render(calib, gt, n, n_lm)
+    pre = load_or_render(calib, gt, n, n_lm, noise=args.noise)
     pre.times = times
 
     cfg = PipelineConfig()
@@ -96,6 +97,7 @@ def main() -> None:
     payload = dict(
         n_frames=n,
         n_landmarks=n_lm,
+        noise=args.noise,
         trajectory="full KITTI 00 GT trajectory (all loops)",
         reference_anchor="4500/error.png: ~41 m max xz error, mean ~13-15 m at frame 4500",
         device=str(jax.devices()[0].platform),

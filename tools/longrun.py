@@ -40,18 +40,22 @@ def out_and_back_poses(n_frames: int) -> np.ndarray:
 
 
 def load_or_render(
-    calib, poses: np.ndarray, n_frames: int, n_landmarks: int, seed: int = 0, image_size=None
+    calib, poses: np.ndarray, n_frames: int, n_landmarks: int, seed: int = 0, image_size=None,
+    noise: float = 0.0,
 ):
     """Pose-validated rendered-frame cache (see bench.preload_cached)."""
     from bench import preload_cached
 
-    return preload_cached(calib, poses, n_frames, n_landmarks, seed, image_size=image_size)
+    return preload_cached(
+        calib, poses, n_frames, n_landmarks, seed, image_size=image_size, noise=noise
+    )
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=600)
     ap.add_argument("--landmarks", type=int, default=9000)
+    ap.add_argument("--noise", type=float, default=0.0, help="sensor noise stddev ([0,1] units)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -70,7 +74,7 @@ def main() -> None:
     poses = out_and_back_poses(args.frames)
     # Host rasterization dominates setup (~10 min at 600 frames); cache the
     # rendered uint8 frames so iterating on the pipeline re-renders for free.
-    pre = load_or_render(calib, poses, args.frames, args.landmarks)
+    pre = load_or_render(calib, poses, args.frames, args.landmarks, noise=args.noise)
 
     cfg = PipelineConfig()
     # Four-config matrix (VERDICT r2 item 2): vo_lc isolates loop closure
@@ -100,6 +104,7 @@ def main() -> None:
 
     payload = dict(
         n_frames=args.frames,
+        noise=args.noise,
         trajectory="out-and-back over KITTI 00 GT poses",
         device=str(jax.devices()[0].platform),
         device_kind=str(getattr(jax.devices()[0], "device_kind", "?")),

@@ -169,6 +169,7 @@ class SyntheticSequence:
         seed: int = 0,
         image_size: tuple | None = None,
         perspective_splats: bool = False,
+        noise: float = 0.0,
     ):
         if image_size is not None and tuple(image_size) != tuple(calib.image_size):
             # Keep the field of view sensible at reduced test resolutions:
@@ -190,6 +191,13 @@ class SyntheticSequence:
         self.landmarks = scatter_landmarks(rng, gt_poses, n_landmarks)
         self.patch = patch
         self.perspective_splats = perspective_splats
+        # Additive Gaussian sensor noise (stddev in [0,1] intensity units),
+        # deterministic per (seed, frame, camera). The noiseless feed leaves
+        # frame-to-frame VO near its floor, which understates the value of
+        # BA/loop closure; realistic sensor noise restores an honest drift
+        # regime for the long-run artifacts.
+        self.noise = float(noise)
+        self._seed = seed
         # Perspective mode only: depth at which a splat spans ``patch`` px.
         self.z_ref = 20.0
         self.sigma_aa = 0.6  # anti-alias filter stddev, output px
@@ -278,6 +286,11 @@ class SyntheticSequence:
         pts_cam = _w2c_apply(pose, self.landmarks)
         left = self._render(pts_cam, self._P1)
         right = self._render(pts_cam, self._P2)
+        if self.noise > 0.0:
+            rl = np.random.default_rng((self._seed, i, 0))
+            rr = np.random.default_rng((self._seed, i, 1))
+            left = np.clip(left + rl.normal(0.0, self.noise, left.shape).astype(np.float32), 0.0, 1.0)
+            right = np.clip(right + rr.normal(0.0, self.noise, right.shape).astype(np.float32), 0.0, 1.0)
         return left, right
 
     def __iter__(self):

@@ -225,13 +225,30 @@ class RefinerWorker:
                 with self._lock:
                     for akf in self.lclo.keyframes:
                         self._kf_corrected[akf.frame_idx] = akf.pose_c2w.copy()
+                # Only LOOP CLOSURES shift the worker frame: they observe
+                # global drift. Window-BA refinements are local and must not
+                # feed into D (see WindowedBA.optimize on non-compounding).
+                with self._lock:
+                    final_lc = self._kf_corrected[job.frame_idx]
+                self._D = (
+                    final_lc.astype(np.float64)
+                    @ np.linalg.inv(snapshot.astype(np.float64))
+                    @ self._D
+                )
+                pose = final_lc.copy()
+                # Re-base the BA window onto the loop-corrected chain.
+                if self.wba is not None:
+                    corr = {akf.frame_idx: akf.pose_c2w for akf in self.lclo.keyframes}
+                    for kf in self.wba.window:
+                        if kf.frame_idx in corr:
+                            kf.pose_c2w = corr[kf.frame_idx].astype(np.float32)
 
         if self.wba is not None:
             from .ba_runner import Keyframe
 
-            # BA sees the loop-corrected pose if a closure just fired.
-            with self._lock:
-                cur_pose = self._kf_corrected[job.frame_idx].copy()
+            # BA inits from the (loop-corrected) chain pose, never from a
+            # previous window solve (non-compounding local refinement).
+            cur_pose = pose.copy()
             t0 = time.perf_counter()
             if job.assoc is not None:
                 slot, m_a, m_b, m_ok = job.assoc
@@ -262,14 +279,7 @@ class RefinerWorker:
             self._phase_s["ba_solve"] += time.perf_counter() - t0
             if ba_res is not None:
                 self._ba_solves += 1
+                T_new, _ = ba_res
                 with self._lock:
-                    for kf in self.wba.window:
-                        self._kf_corrected[kf.frame_idx] = kf.pose_c2w.copy()
-
-        with self._lock:
-            final = self._kf_corrected[job.frame_idx]
-        if not np.allclose(final, snapshot, atol=1e-7):
-            # Future chain poses are mapped through the updated correction.
-            self._D = (
-                final.astype(np.float64) @ np.linalg.inv(snapshot.astype(np.float64)) @ self._D
-            )
+                    for k, kf in enumerate(self.wba.window):
+                        self._kf_corrected[kf.frame_idx] = T_new[k].copy()

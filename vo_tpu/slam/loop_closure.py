@@ -78,12 +78,22 @@ class LoopCloser:
         self.decimations = 0  # capacity-decimation count (observability)
         self.skipped_small = 0  # closures skipped by the min_correction gate
         self._cooldown_left = 0
-        self._match = jax.jit(
-            lambda da, ma, db, mb: match(da, ma, db, mb, self.matcher, cfg.match_capacity)
-        )
-        self._estimate = jax.jit(
-            lambda px, X, m, key: estimate_world_pose(px, X, m, calib, self.ransac, key)
-        )
+
+        # ONE fused verification program (match -> triangulate -> RANSAC-P3P):
+        # separate jitted calls cost a device round trip each, which over a
+        # tunneled TPU dominated the refiner worker (42 s of 600-frame run).
+        def _verify_fused(cand_lpx, cand_rpx, cand_desc, cand_mask, cur_lpx, cur_desc, cur_mask, key):
+            with jax.default_matmul_precision("float32"):
+                m = match(cur_desc, cur_mask, cand_desc, cand_mask, self.matcher, cfg.match_capacity)
+                X_cand = triangulate_rectified(cand_lpx, cand_rpx, calib)
+                Xm = jnp.take(X_cand, m.b_idx, axis=0)
+                px = jnp.take(cur_lpx, m.a_idx, axis=0)
+                depth_ok = (Xm[:, 2] > 0.5) & (Xm[:, 2] < 150.0)
+                msk = m.mask & depth_ok
+                est = estimate_world_pose(px, Xm, msk, calib, self.ransac, key)
+            return est.ok, est.n_inliers, est.pose_c2w, jnp.sum(m.mask)
+
+        self._verify_prog = jax.jit(_verify_fused)
         self._optimize = jax.jit(lambda g: pg.optimize(g, iters=cfg.graph_iters))
         self._key = jax.random.PRNGKey(17)
 
@@ -114,33 +124,29 @@ class LoopCloser:
             for k in order:
                 if sim[k] >= self.cfg.appearance_min_sim and int(k) not in out:
                     out.append(int(k))
-        return out
+        # Each verification is one fused device call; cap the per-keyframe
+        # budget so a dense revisit can't stall the worker.
+        return out[:4]
 
     # -- verification -------------------------------------------------------
     def _verify(self, cand: ArchivedKeyframe, cur: ArchivedKeyframe) -> Optional[np.ndarray]:
         """Returns Z = pose of CURRENT camera in CANDIDATE camera frame, or None."""
-        m = self._match(
-            jnp.asarray(cur.l_desc), jnp.asarray(cur.mask),
-            jnp.asarray(cand.l_desc), jnp.asarray(cand.mask),
-        )
-        a = np.asarray(m.a_idx)
-        b = np.asarray(m.b_idx)
-        km = np.asarray(m.mask)
-        if km.sum() < self.cfg.min_inliers:
-            return None
-        # Candidate-frame 3D from its stereo pair; current-frame 2D left px.
-        X_cand = triangulate_rectified(
-            jnp.asarray(cand.l_px, jnp.float32), jnp.asarray(cand.r_px, jnp.float32), self.calib
-        )
-        Xm = jnp.take(X_cand, jnp.asarray(b), axis=0)
-        px = jnp.take(jnp.asarray(cur.l_px, jnp.float32), jnp.asarray(a), axis=0)
-        depth_ok = (Xm[:, 2] > 0.5) & (Xm[:, 2] < 150.0)
-        msk = jnp.asarray(km) & depth_ok
         self._key, sub = jax.random.split(self._key)
-        est = self._estimate(px, Xm, msk, sub)
-        if not bool(est.ok) or int(est.n_inliers) < self.cfg.min_inliers:
+        ok, n_inliers, pose, n_matches = self._verify_prog(
+            jnp.asarray(cand.l_px, jnp.float32),
+            jnp.asarray(cand.r_px, jnp.float32),
+            jnp.asarray(cand.l_desc),
+            jnp.asarray(cand.mask),
+            jnp.asarray(cur.l_px, jnp.float32),
+            jnp.asarray(cur.l_desc),
+            jnp.asarray(cur.mask),
+            sub,
+        )
+        if int(n_matches) < self.cfg.min_inliers:
             return None
-        return np.asarray(est.pose_c2w)
+        if not bool(ok) or int(n_inliers) < self.cfg.min_inliers:
+            return None
+        return np.asarray(pose)
 
     # -- public API ---------------------------------------------------------
     def add_keyframe(self, kf: ArchivedKeyframe) -> Optional[dict]:
@@ -174,9 +180,11 @@ class LoopCloser:
             disc = float(np.linalg.norm(implied[:3, 3] - kf.pose_c2w[:3, 3]))
             if disc < self.cfg.min_correction:
                 self.skipped_small += 1
-                # Short cooldown only: drift keeps growing, so a revisit that
-                # is "too consistent" now may deserve a closure soon.
-                self._cooldown_left = max(self._cooldown_left, 2)
+                # Medium cooldown: drift keeps growing, so a revisit that is
+                # "too consistent" now may deserve a closure later — but
+                # re-verifying every keyframe of a long revisit is the single
+                # biggest worker cost.
+                self._cooldown_left = max(self._cooldown_left, self.cfg.cooldown // 2)
                 continue
             self.loop_edges.append((k, cur_k, Z))
             if len(self.loop_edges) > self.cfg.max_loop_edges:
