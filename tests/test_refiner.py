@@ -156,6 +156,72 @@ class TestRefinerRunner:
                 assert os.path.exists(os.path.join(d, name)), (i, name)
 
 
+class TestPropagateClosure:
+    """ADVICE r3 high: keyframes decimated out of the LoopCloser archive must
+    follow their nearest surviving neighbor on closure, or reanchoring
+    alternates between pre- and post-closure anchors (zigzag)."""
+
+    def test_uniform_closure_moves_every_ledger_entry(self):
+        from vo_tpu.odometry.refiner import propagate_closure
+
+        rng = np.random.default_rng(5)
+        chain = _random_traj(rng, 9).astype(np.float32)
+        kf_order = list(range(9))
+        kf_corrected = {i: chain[i].copy() for i in kf_order}
+        kf_chain = {i: chain[i].copy() for i in kf_order}
+        delta = np.eye(4)
+        delta[0, 3] = 2.0
+        # Survivors: even keyframes only (post-decimation archive), all
+        # shifted by the same rigid closure delta.
+        surv = {
+            i: (delta @ chain[i].astype(np.float64)).astype(np.float32)
+            for i in range(0, 9, 2)
+        }
+        propagate_closure(kf_order, kf_corrected, kf_chain, surv)
+        for i in kf_order:  # decimated (odd) entries must move identically
+            np.testing.assert_allclose(
+                kf_corrected[i],
+                (delta @ chain[i].astype(np.float64)).astype(np.float32),
+                atol=1e-4,
+            )
+
+    def test_ba_offsets_survive_and_nearest_survivor_delta_used(self):
+        from vo_tpu.odometry.refiner import propagate_closure
+
+        rng = np.random.default_rng(6)
+        chain = _random_traj(rng, 5).astype(np.float32)
+        kf_order = list(range(5))
+        # kf 1 carries a small window-BA offset on top of the chain pose.
+        ba_off = np.eye(4, dtype=np.float32)
+        ba_off[1, 3] = 0.05
+        kf_corrected = {i: chain[i].copy() for i in kf_order}
+        kf_corrected[1] = (ba_off @ chain[1].astype(np.float64)).astype(np.float32)
+        kf_chain = {i: chain[i].copy() for i in kf_order}
+        d0 = np.eye(4)
+        d0[0, 3] = 1.0
+        d4 = np.eye(4)
+        d4[0, 3] = 3.0
+        surv = {
+            0: (d0 @ chain[0].astype(np.float64)).astype(np.float32),
+            4: (d4 @ chain[4].astype(np.float64)).astype(np.float32),
+        }
+        propagate_closure(kf_order, kf_corrected, kf_chain, surv)
+        # kf 1 is nearest survivor 0: gets d0, BA offset preserved on top.
+        np.testing.assert_allclose(
+            kf_corrected[1],
+            (d0 @ ba_off @ chain[1].astype(np.float64)).astype(np.float32),
+            atol=1e-4,
+        )
+        # chain ledger stays BA-free.
+        np.testing.assert_allclose(
+            kf_chain[1], (d0 @ chain[1].astype(np.float64)).astype(np.float32), atol=1e-4
+        )
+        # kf 3 is nearest survivor 4: gets d4.
+        np.testing.assert_allclose(
+            kf_corrected[3], (d4 @ chain[3].astype(np.float64)).astype(np.float32), atol=1e-4
+        )
+
+
 class TestLoopCloserCapacity:
     def test_decimation_beyond_capacity(self):
         """Beyond max_keyframes the closer decimates instead of freezing."""

@@ -66,6 +66,39 @@ def _start_async_copy(arr):
         pass  # backend without async copies; np.asarray in the worker still works
 
 
+def propagate_closure(
+    kf_order: list[int],
+    kf_corrected: dict[int, np.ndarray],
+    kf_chain: dict[int, np.ndarray],
+    surv: dict[int, np.ndarray],
+) -> tuple[np.ndarray, dict[int, np.ndarray]]:
+    """Apply a loop closure's corrected keyframe poses to the FULL ledger.
+
+    ``surv`` maps frame_idx -> post-closure pose for keyframes still in the
+    LoopCloser archive. Keyframes decimated out of the archive get the rigid
+    delta of their nearest surviving neighbor (by frame index) so every
+    anchor moves coherently; leaving them stale made reanchor_trajectory
+    alternate between pre- and post-closure anchors, zigzagging segments by
+    the full closure correction (ADVICE r3 high). Deltas are computed
+    against the CHAIN ledger (loop-corrected, BA-free) and applied to both
+    ledgers in place. Returns (sorted survivor indices, delta dict)."""
+    deltas = {
+        fi: surv[fi].astype(np.float64) @ np.linalg.inv(kf_chain[fi].astype(np.float64))
+        for fi in surv
+        if fi in kf_chain
+    }
+    surv_sorted = np.array(sorted(deltas.keys()), np.int64)
+    for fi in kf_order:
+        if fi in surv:
+            kf_corrected[fi] = surv[fi].astype(np.float32)
+            kf_chain[fi] = surv[fi].astype(np.float32)
+        elif surv_sorted.size:
+            d = deltas[int(surv_sorted[np.argmin(np.abs(surv_sorted - fi))])]
+            kf_corrected[fi] = (d @ kf_corrected[fi].astype(np.float64)).astype(np.float32)
+            kf_chain[fi] = (d @ kf_chain[fi].astype(np.float64)).astype(np.float32)
+    return surv_sorted, deltas
+
+
 class RefinerWorker:
     """Owns BA + loop closure on a worker thread; main thread never blocks on
     device->host transfers for refinement."""
@@ -98,6 +131,13 @@ class RefinerWorker:
             self.lclo = LoopCloser(calib, cfg.loop, matcher=cfg.matcher)
         # frame_idx -> latest corrected [4,4] pose (worker-owned, lock-guarded)
         self._kf_corrected: dict[int, np.ndarray] = {}
+        # frame_idx -> loop-corrected CHAIN pose (excludes window-BA deltas).
+        # Closure deltas are computed against this ledger so keyframes the
+        # LoopCloser has DECIMATED out of its archive still ride along with
+        # their nearest surviving neighbor instead of keeping stale poses
+        # (stale anchors zigzag reanchor_trajectory by the full closure
+        # correction — ADVICE r3 high).
+        self._kf_chain: dict[int, np.ndarray] = {}
         self._kf_order: list[int] = []
         # Cumulative rigid correction mapping live-chain poses into the
         # worker's corrected frame (worker-thread only; no lock needed).
@@ -142,6 +182,26 @@ class RefinerWorker:
     def wait_pending(self) -> None:
         """Block until every submitted job has been processed (lock-step)."""
         self._q.join()
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def throttle(self, max_lag: int = 2) -> None:
+        """Block only while more than ``max_lag`` submitted jobs are pending.
+
+        Corrections never feed back into the live chain (worker-frame
+        design, module docstring), and the worker consumes its queue in FIFO
+        order on one thread — so the final trajectory is bit-identical
+        whatever the main thread's timing. The bound exists only to cap the
+        lifetime of the queued device arrays and keep the worker from
+        falling unboundedly behind; ``max_lag=0`` is the old lock-step,
+        whose wait dominated the run whenever one keyframe's refinement
+        (graph solve + verifies) exceeded the keyframe cadence
+        (main_wait_s 35 s of a 43.5 s run, ADVICE r3 medium)."""
+        while self._q.unfinished_tasks > max_lag:
+            with self._q.all_tasks_done:
+                if self._q.unfinished_tasks > max_lag:
+                    self._q.all_tasks_done.wait(timeout=0.05)
         if self._error is not None:
             err, self._error = self._error, None
             raise err
@@ -202,6 +262,7 @@ class RefinerWorker:
         snapshot = pose.copy()
         with self._lock:
             self._kf_corrected[job.frame_idx] = pose
+            self._kf_chain[job.frame_idx] = pose
             self._kf_order.append(job.frame_idx)
         self._phase_s["copy"] += time.perf_counter() - t0
 
@@ -222,26 +283,36 @@ class RefinerWorker:
             self._phase_s["loop_closure"] += time.perf_counter() - t0
             if res is not None:
                 self._loops_closed += 1
+                surv = {akf.frame_idx: akf.pose_c2w.copy() for akf in self.lclo.keyframes}
                 with self._lock:
-                    for akf in self.lclo.keyframes:
-                        self._kf_corrected[akf.frame_idx] = akf.pose_c2w.copy()
+                    surv_sorted, deltas = propagate_closure(
+                        self._kf_order, self._kf_corrected, self._kf_chain, surv
+                    )
+                    final_lc = self._kf_corrected[job.frame_idx]
                 # Only LOOP CLOSURES shift the worker frame: they observe
                 # global drift. Window-BA refinements are local and must not
                 # feed into D (see WindowedBA.optimize on non-compounding).
-                with self._lock:
-                    final_lc = self._kf_corrected[job.frame_idx]
                 self._D = (
                     final_lc.astype(np.float64)
                     @ np.linalg.inv(snapshot.astype(np.float64))
                     @ self._D
                 )
                 pose = final_lc.copy()
-                # Re-base the BA window onto the loop-corrected chain.
+                # Re-base the BA window onto the loop-corrected chain —
+                # including window keyframes whose archive entry was
+                # decimated (nearest-survivor delta), or the next window
+                # solve initializes from pre-closure geometry (ADVICE r3).
                 if self.wba is not None:
-                    corr = {akf.frame_idx: akf.pose_c2w for akf in self.lclo.keyframes}
                     for kf in self.wba.window:
-                        if kf.frame_idx in corr:
-                            kf.pose_c2w = corr[kf.frame_idx].astype(np.float32)
+                        if kf.frame_idx in surv:
+                            kf.pose_c2w = surv[kf.frame_idx].astype(np.float32)
+                        elif surv_sorted.size:
+                            d = deltas[
+                                int(surv_sorted[np.argmin(np.abs(surv_sorted - kf.frame_idx))])
+                            ]
+                            kf.pose_c2w = (d @ kf.pose_c2w.astype(np.float64)).astype(
+                                np.float32
+                            )
 
         if self.wba is not None:
             from .ba_runner import Keyframe

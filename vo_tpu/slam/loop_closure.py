@@ -51,6 +51,7 @@ class ArchivedKeyframe:
     l_desc: np.ndarray
     mask: np.ndarray
     global_desc: np.ndarray | None = None  # [128] masked-mean SIFT desc, unit norm
+    path_m: float = 0.0  # cumulative trajectory length when archived (drift gate)
 
 
 def _global_desc(l_desc: np.ndarray, mask: np.ndarray) -> np.ndarray:
@@ -78,20 +79,30 @@ class LoopCloser:
         self.decimations = 0  # capacity-decimation count (observability)
         self.skipped_small = 0  # closures skipped by the min_correction gate
         self._cooldown_left = 0
+        self._path_m = 0.0  # cumulative keyframe-chain trajectory length
+        self._last_t: np.ndarray | None = None
 
-        # ONE fused verification program (match -> triangulate -> RANSAC-P3P):
+        # ONE fused verification program for the WHOLE candidate batch
+        # (match -> triangulate -> RANSAC-P3P, vmapped over candidates):
         # separate jitted calls cost a device round trip each, which over a
-        # tunneled TPU dominated the refiner worker (42 s of 600-frame run).
-        def _verify_fused(cand_lpx, cand_rpx, cand_desc, cand_mask, cur_lpx, cur_desc, cur_mask, key):
-            with jax.default_matmul_precision("float32"):
-                m = match(cur_desc, cur_mask, cand_desc, cand_mask, self.matcher, cfg.match_capacity)
-                X_cand = triangulate_rectified(cand_lpx, cand_rpx, calib)
-                Xm = jnp.take(X_cand, m.b_idx, axis=0)
-                px = jnp.take(cur_lpx, m.a_idx, axis=0)
-                depth_ok = (Xm[:, 2] > 0.5) & (Xm[:, 2] < 150.0)
-                msk = m.mask & depth_ok
-                est = estimate_world_pose(px, Xm, msk, calib, self.ransac, key)
-            return est.ok, est.n_inliers, est.pose_c2w, jnp.sum(m.mask)
+        # tunneled TPU dominated the refiner worker (42 s of a 600-frame run
+        # in r2; still 102 s with one fused call PER candidate in the noisy
+        # r3 rerun — candidates arrive up to ``candidate_budget`` at a time).
+        def _verify_fused(cand_lpx, cand_rpx, cand_desc, cand_mask, cur_lpx, cur_desc, cur_mask, keys):
+            def one(lpx, rpx, desc, cmask, key):
+                with jax.default_matmul_precision("float32"):
+                    m = match(cur_desc, cur_mask, desc, cmask, self.matcher, cfg.match_capacity)
+                    X_cand = triangulate_rectified(lpx, rpx, calib)
+                    Xm = jnp.take(X_cand, m.b_idx, axis=0)
+                    px = jnp.take(cur_lpx, m.a_idx, axis=0)
+                    depth_ok = (Xm[:, 2] > 0.5) & (Xm[:, 2] < 150.0)
+                    msk = m.mask & depth_ok
+                    est = estimate_world_pose(px, Xm, msk, calib, self.ransac, key)
+                # Quick-reject support count is the POST-depth-gate match
+                # count (the set RANSAC actually scores), not raw matches.
+                return est.ok, est.n_inliers, est.pose_c2w, jnp.sum(msk)
+
+            return jax.vmap(one)(cand_lpx, cand_rpx, cand_desc, cand_mask, keys)
 
         self._verify_prog = jax.jit(_verify_fused)
         self._optimize = jax.jit(lambda g: pg.optimize(g, iters=cfg.graph_iters))
@@ -124,29 +135,41 @@ class LoopCloser:
             for k in order:
                 if sim[k] >= self.cfg.appearance_min_sim and int(k) not in out:
                     out.append(int(k))
-        # Each verification is one fused device call; cap the per-keyframe
-        # budget so a dense revisit can't stall the worker.
-        return out[:4]
+        # The whole budget is verified in ONE fused device call; cap it so a
+        # dense revisit can't stall the worker.
+        return out[: self.cfg.candidate_budget]
 
     # -- verification -------------------------------------------------------
-    def _verify(self, cand: ArchivedKeyframe, cur: ArchivedKeyframe) -> Optional[np.ndarray]:
-        """Returns Z = pose of CURRENT camera in CANDIDATE camera frame, or None."""
+    def _verify_batch(self, cands: list[ArchivedKeyframe], cur: ArchivedKeyframe) -> list[Optional[np.ndarray]]:
+        """One fused dispatch for every candidate. Returns, per candidate,
+        Z = pose of CURRENT camera in CANDIDATE camera frame, or None."""
+        B = self.cfg.candidate_budget
+        n = len(cands)
+        padded = cands + [cands[0]] * (B - n)  # static batch; extras ignored
         self._key, sub = jax.random.split(self._key)
-        ok, n_inliers, pose, n_matches = self._verify_prog(
-            jnp.asarray(cand.l_px, jnp.float32),
-            jnp.asarray(cand.r_px, jnp.float32),
-            jnp.asarray(cand.l_desc),
-            jnp.asarray(cand.mask),
-            jnp.asarray(cur.l_px, jnp.float32),
-            jnp.asarray(cur.l_desc),
-            jnp.asarray(cur.mask),
-            sub,
+        keys = jax.random.split(sub, B)
+        ok, n_inliers, poses, n_matches = jax.tree.map(
+            np.asarray,
+            self._verify_prog(
+                jnp.asarray(np.stack([c.l_px for c in padded]), jnp.float32),
+                jnp.asarray(np.stack([c.r_px for c in padded]), jnp.float32),
+                jnp.asarray(np.stack([c.l_desc for c in padded])),
+                jnp.asarray(np.stack([c.mask for c in padded])),
+                jnp.asarray(cur.l_px, jnp.float32),
+                jnp.asarray(cur.l_desc),
+                jnp.asarray(cur.mask),
+                keys,
+            ),
         )
-        if int(n_matches) < self.cfg.min_inliers:
-            return None
-        if not bool(ok) or int(n_inliers) < self.cfg.min_inliers:
-            return None
-        return np.asarray(pose)
+        out: list[Optional[np.ndarray]] = []
+        for b in range(n):
+            good = (
+                int(n_matches[b]) >= self.cfg.min_inliers
+                and bool(ok[b])
+                and int(n_inliers[b]) >= self.cfg.min_inliers
+            )
+            out.append(poses[b] if good else None)
+        return out
 
     # -- public API ---------------------------------------------------------
     def add_keyframe(self, kf: ArchivedKeyframe) -> Optional[dict]:
@@ -161,6 +184,11 @@ class LoopCloser:
         """
         if kf.global_desc is None:
             kf.global_desc = _global_desc(kf.l_desc, kf.mask)
+        t = kf.pose_c2w[:3, 3]
+        if self._last_t is not None:
+            self._path_m += float(np.linalg.norm(t - self._last_t))
+        self._last_t = t.copy()
+        kf.path_m = self._path_m
         self.keyframes.append(kf)
         if len(self.keyframes) > self.cfg.max_keyframes:
             self._decimate()
@@ -168,17 +196,34 @@ class LoopCloser:
             self._cooldown_left -= 1
             return None
         cur_k = len(self.keyframes) - 1
-        for k in self._candidates(kf.pose_c2w, kf.global_desc):
-            Z = self._verify(self.keyframes[k], kf)
+        cand_idx = self._candidates(kf.pose_c2w, kf.global_desc)
+        if not cand_idx:
+            return None
+        Zs = self._verify_batch([self.keyframes[k] for k in cand_idx], kf)
+        for k, Z in zip(cand_idx, Zs):
             if Z is None:
                 continue
             # Benefit gate: the loop implies the current camera sits at
             # cand_pose @ Z; if that only disagrees with the chained pose by
-            # less than min_correction, the "correction" is verification
-            # noise — skip rather than degrade an accurate trajectory.
+            # less than the expected noise, the "correction" is verification
+            # noise — skip rather than degrade an accurate trajectory. The
+            # threshold is DRIFT-AWARE (VERDICT r3 item 3): plausible drift
+            # scales with the trajectory length traveled since the candidate
+            # (drift_frac), floored at the verification-noise level and
+            # capped at min_correction, so short loops stay closable (a 0.5 m
+            # correction after a 100 m loop is real drift; after 5 m it is
+            # noise) while a fixed 1.0 m gate no longer disables closure on
+            # every sub-kilometer trajectory.
             implied = self.keyframes[k].pose_c2w @ Z
             disc = float(np.linalg.norm(implied[:3, 3] - kf.pose_c2w[:3, 3]))
-            if disc < self.cfg.min_correction:
+            gate = float(
+                np.clip(
+                    self.cfg.drift_frac * (kf.path_m - self.keyframes[k].path_m),
+                    self.cfg.min_correction_floor,
+                    self.cfg.min_correction,
+                )
+            )
+            if disc < gate:
                 self.skipped_small += 1
                 # Medium cooldown: drift keeps growing, so a revisit that is
                 # "too consistent" now may deserve a closure later — but
