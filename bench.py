@@ -243,8 +243,14 @@ def main(argv=None):
     # sight, not a repeat) — the honest long-haul number next to the 30-frame
     # steady-state headline (VERDICT r2 item 6).
     sustained = None
+    kitti_dir = "/root/reference/kitti/00"
+    if args.sustained_frames and not os.path.isdir(kitti_dir):
+        # Keep the benchmark self-contained: without the reference dataset
+        # the sustained pass is skipped instead of crashing (ADVICE r3).
+        print(f"# sustained pass skipped: {kitti_dir} not found", flush=True)
+        args.sustained_frames = 0
     if args.sustained_frames:
-        calib = kitti.load_stereo_calib("/root/reference/kitti/00")
+        calib = kitti.load_stereo_calib(kitti_dir)
         gt = kitti.read_poses("/root/reference/kitti/poses/00.txt")[: args.sustained_frames]
         pre_s = preload_cached(calib, gt, args.sustained_frames, 9000, seed=0)
         res_s = runner.run_sequence(pre_s, cfg, n_frames=args.sustained_frames)

@@ -76,6 +76,37 @@ def test_fast_and_exact_find_same_keypoints(stereo_pair):
     np.testing.assert_array_equal(np.asarray(fast.mask), np.asarray(exact.mask))
 
 
+def test_default_multi_peak_config_stays_covered(stereo_pair):
+    """ADVICE r3: the SHIPPED default (fast_descriptor=True, n_orientations=2)
+    had no parity coverage — the keypoint-equality test pins n_orientations=1.
+    Two weaker invariants that must hold at the default:
+      1. multi-peak duplication only ADDS keypoints: every dominant-peak
+         detection survives at the same location (given capacity headroom);
+      2. fast-vs-exact matching parity at n_orientations=2: descriptors
+         differ numerically between the paths, plausible-match counts may not.
+    """
+    l0, r0, _ = stereo_pair
+    big = 768  # headroom so duplicates can't evict dominant peaks
+    f1 = _detect(
+        l0, SIFTConfig(max_keypoints=big, n_octaves=2, fast_descriptor=True, n_orientations=1)
+    )
+    f2 = _detect(
+        l0, SIFTConfig(max_keypoints=big, n_octaves=2, fast_descriptor=True, n_orientations=2)
+    )
+    xy1 = np.asarray(f1.xy)[np.asarray(f1.mask)]
+    xy2 = np.asarray(f2.xy)[np.asarray(f2.mask)]
+    assert xy2.shape[0] >= xy1.shape[0], (xy1.shape, xy2.shape)
+    d = np.linalg.norm(xy1[:, None] - xy2[None], axis=-1).min(axis=1)
+    assert (d < 1e-3).mean() > 0.95, float((d < 1e-3).mean())
+
+    cfg_fast = SIFTConfig(max_keypoints=512, n_octaves=3, fast_descriptor=True, n_orientations=2)
+    cfg_exact = dataclasses.replace(cfg_fast, fast_descriptor=False)
+    n_f, good_f = _match_count(_detect(l0, cfg_fast), _detect(r0, cfg_fast))
+    n_e, good_e = _match_count(_detect(l0, cfg_exact), _detect(r0, cfg_exact))
+    assert good_f >= 40 and good_e >= 40, (good_f, good_e)
+    assert good_f > 0.6 * good_e, (good_f, good_e)  # fast path must not regress silently
+
+
 def test_fast_descriptors_normalized(stereo_pair):
     l0, _, _ = stereo_pair
     f = _detect(l0, SIFTConfig(max_keypoints=256, n_octaves=2, fast_descriptor=True))
