@@ -157,11 +157,21 @@ class LoopConfig:
     # accumulated drift is sub-meter (every committed run through r3).
     min_correction: float = 1.0  # meters — gate CAP (long paths)
     min_correction_floor: float = 0.3  # meters — verification-noise floor
-    drift_frac: float = 0.002  # plausible drift per meter traveled
+    # Gate slope per meter traveled since the candidate. Must sit BELOW the
+    # platform's actual drift rate or closure is again unreachable: the
+    # noisy 600-frame matrix measured ~0.65 m/km VO drift, so 0.5 m/km
+    # keeps the gate under real drift while scaling past the floor.
+    drift_frac: float = 0.0005
     # After an accepted closure, skip detection for this many keyframes: a
     # long revisit otherwise re-verifies + re-solves the global graph at
     # EVERY keyframe (measured 103 s of worker time on a 600-frame run).
     cooldown: int = 10
+    # After ANY verification round (accepted or not), skip this many
+    # keyframes before dispatching another: revisit candidates persist for
+    # tens of keyframes, and each round costs a device round trip over the
+    # tunnel (~0.3-0.5 s) — verifying every keyframe of a revisit is
+    # redundant latency, not extra recall.
+    verify_cooldown: int = 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -186,3 +196,10 @@ class PipelineConfig:
     view_3d: bool = True  # the reference's single flag (VO.m:6)
     viz_every: int = 100  # VO.m:168
     dtype: str = "float32"
+    # Matmul precision for the per-frame step. "float32" is required when
+    # the step feeds window BA (bf16 perturbs the DoG pyramid enough to
+    # flicker ~10% of detections, fatal to multi-view consistency at the
+    # ~0.1 px level — make_jitted_step docstring); pure frame-to-frame VO
+    # is RANSAC-guarded per frame and tolerates faster precisions. The
+    # runner force-promotes to float32 whenever use_ba=True.
+    matmul_precision: str = "float32"

@@ -192,21 +192,26 @@ def vo_step(
     return new_state, out
 
 
-def make_jitted_step(calib: StereoCalib, cfg: PipelineConfig):
+def make_jitted_step(calib: StereoCalib, cfg: PipelineConfig, precision: str | None = None):
     """Compile the per-frame step once; returns step(state, left, right, key).
 
-    Matmul precision is pinned to float32: TPU's bf16 default perturbs the
-    DoG pyramid enough to flicker ~10% of detections between runs/backends
-    and add subpixel jitter — harmless to RANSAC-guarded frame-to-frame VO
-    but fatal to window BA, whose multi-view observations must be
-    consistent at the ~0.1 px level (measured: identical window problems
-    solve identically on CPU/TPU, yet TPU-assembled problems carried 2x the
-    per-observation inconsistency and every solve degraded the window).
+    ``precision`` (default cfg.matmul_precision) pins every matmul/conv in
+    the step. float32 is REQUIRED when the step feeds window BA: TPU's bf16
+    default perturbs the DoG pyramid enough to flicker ~10% of detections
+    between runs/backends and add subpixel jitter — harmless to
+    RANSAC-guarded frame-to-frame VO but fatal to window BA, whose
+    multi-view observations must be consistent at the ~0.1 px level
+    (measured: identical window problems solve identically on CPU/TPU, yet
+    TPU-assembled problems carried 2x the per-observation inconsistency and
+    every solve degraded the window). The runner promotes to float32
+    whenever use_ba=True; plain VO may run bfloat16/bfloat16_3x for MXU
+    throughput if the ATE bound holds (VERDICT r3 item 5).
     """
+    precision = cfg.matmul_precision if precision is None else precision
 
     @jax.jit
     def step(state, left, right, key):
-        with jax.default_matmul_precision("float32"):
+        with jax.default_matmul_precision(precision):
             return vo_step(state, left, right, key, calib, cfg)
 
     return step

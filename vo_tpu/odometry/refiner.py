@@ -225,6 +225,12 @@ class RefinerWorker:
         if self.lclo is not None:
             s["loops_skipped_small"] = self.lclo.skipped_small
             s["decimations"] = self.lclo.decimations
+            ev = self.lclo.disc_events
+            s["lc_verified"] = len(ev)
+            if ev:  # gate-decision telemetry: what discrepancies were seen
+                discs = sorted(e[1] for e in ev)
+                s["lc_disc_max_m"] = discs[-1]
+                s["lc_disc_p50_m"] = discs[len(discs) // 2]
         s.update({f"worker_{k}_s": round(v, 3) for k, v in self._phase_s.items()})
         return s
 
@@ -278,6 +284,9 @@ class RefinerWorker:
                     r_px=r_xy,
                     l_desc=np.asarray(job.l_desc, np.float32),
                     mask=mask,
+                    # Pass the step's own device arrays through so candidate
+                    # verification never re-uploads payloads over the tunnel.
+                    dev=(job.l_xy, job.r_xy, job.l_desc, job.mask),
                 )
             )
             self._phase_s["loop_closure"] += time.perf_counter() - t0

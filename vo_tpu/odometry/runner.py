@@ -129,7 +129,10 @@ def run_sequence(
     if insert_landmarks is None:
         insert_landmarks = cfg.view_3d
     n = len(seq) if n_frames is None else min(n_frames, len(seq))
-    step = make_jitted_step(calib, cfg)
+    # Window BA needs f32-consistent multi-view observations from the step
+    # (make_jitted_step docstring); plain VO honors cfg.matmul_precision.
+    precision = "float32" if use_ba else cfg.matmul_precision
+    step = make_jitted_step(calib, cfg, precision=precision)
     # Donate the map so the [capacity, 3] store is updated in place instead
     # of copied every frame.
     insert = jax.jit(

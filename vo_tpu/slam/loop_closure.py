@@ -52,6 +52,11 @@ class ArchivedKeyframe:
     mask: np.ndarray
     global_desc: np.ndarray | None = None  # [128] masked-mean SIFT desc, unit norm
     path_m: float = 0.0  # cumulative trajectory length when archived (drift gate)
+    # Device-resident (l_px, r_px, l_desc, mask) for verification. The
+    # refiner passes the step's own device arrays through, so candidate
+    # verification never re-uploads the ~0.6 MB payload over the tunnel
+    # (measured ~0.7 s per verify round when uploading per round).
+    dev: tuple | None = None
 
 
 def _global_desc(l_desc: np.ndarray, mask: np.ndarray) -> np.ndarray:
@@ -78,6 +83,9 @@ class LoopCloser:
         self.loop_edges: list[tuple[int, int, np.ndarray]] = []  # (old_k, new_k, Z)
         self.decimations = 0  # capacity-decimation count (observability)
         self.skipped_small = 0  # closures skipped by the min_correction gate
+        # (path_delta_m, disc_m, gate_m, fired) per verified candidate —
+        # the gate's decision log (diagnosing "why did no loop close").
+        self.disc_events: list[tuple] = []
         self._cooldown_left = 0
         self._path_m = 0.0  # cumulative keyframe-chain trajectory length
         self._last_t: np.ndarray | None = None
@@ -140,6 +148,17 @@ class LoopCloser:
         return out[: self.cfg.candidate_budget]
 
     # -- verification -------------------------------------------------------
+    @staticmethod
+    def _dev_of(kf: ArchivedKeyframe) -> tuple:
+        if kf.dev is None:
+            kf.dev = (
+                jnp.asarray(kf.l_px, jnp.float32),
+                jnp.asarray(kf.r_px, jnp.float32),
+                jnp.asarray(kf.l_desc, jnp.float32),
+                jnp.asarray(kf.mask),
+            )
+        return kf.dev
+
     def _verify_batch(self, cands: list[ArchivedKeyframe], cur: ArchivedKeyframe) -> list[Optional[np.ndarray]]:
         """One fused dispatch for every candidate. Returns, per candidate,
         Z = pose of CURRENT camera in CANDIDATE camera frame, or None."""
@@ -148,16 +167,18 @@ class LoopCloser:
         padded = cands + [cands[0]] * (B - n)  # static batch; extras ignored
         self._key, sub = jax.random.split(self._key)
         keys = jax.random.split(sub, B)
+        devs = [self._dev_of(c) for c in padded]
+        cur_dev = self._dev_of(cur)
         ok, n_inliers, poses, n_matches = jax.tree.map(
             np.asarray,
             self._verify_prog(
-                jnp.asarray(np.stack([c.l_px for c in padded]), jnp.float32),
-                jnp.asarray(np.stack([c.r_px for c in padded]), jnp.float32),
-                jnp.asarray(np.stack([c.l_desc for c in padded])),
-                jnp.asarray(np.stack([c.mask for c in padded])),
-                jnp.asarray(cur.l_px, jnp.float32),
-                jnp.asarray(cur.l_desc),
-                jnp.asarray(cur.mask),
+                jnp.stack([d[0] for d in devs]),
+                jnp.stack([d[1] for d in devs]),
+                jnp.stack([d[2] for d in devs]),
+                jnp.stack([d[3] for d in devs]),
+                cur_dev[0],
+                cur_dev[2],
+                cur_dev[3],
                 keys,
             ),
         )
@@ -199,6 +220,10 @@ class LoopCloser:
         cand_idx = self._candidates(kf.pose_c2w, kf.global_desc)
         if not cand_idx:
             return None
+        # Pace verification: a revisit keeps proposing the same neighborhood
+        # for tens of keyframes; one round per verify_cooldown keyframes
+        # bounds the tunnel round trips without losing recall.
+        self._cooldown_left = max(self._cooldown_left, self.cfg.verify_cooldown)
         Zs = self._verify_batch([self.keyframes[k] for k in cand_idx], kf)
         for k, Z in zip(cand_idx, Zs):
             if Z is None:
@@ -222,6 +247,9 @@ class LoopCloser:
                     self.cfg.min_correction_floor,
                     self.cfg.min_correction,
                 )
+            )
+            self.disc_events.append(
+                (round(kf.path_m - self.keyframes[k].path_m, 1), round(disc, 3), round(gate, 3), disc >= gate)
             )
             if disc < gate:
                 self.skipped_small += 1
