@@ -116,6 +116,7 @@ def test_pose_graph_closes_drift(rng, gt_poses):
     assert drift < drift0 * 0.2 + 1e-3, (drift0, drift)
 
 
+@pytest.mark.slow
 def test_sharded_ba_matches_single(rng, kitti_calib, gt_poses):
     from vo_tpu.config import MeshConfig
     from vo_tpu.dist import ba_sharded, mesh as mesh_mod

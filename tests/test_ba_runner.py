@@ -13,6 +13,8 @@ from vo_tpu.eval import metrics
 from vo_tpu.io import synthetic
 from vo_tpu.odometry import runner
 
+pytestmark = pytest.mark.slow  # multi-minute on the 2-core CI host; fast path = -m "not slow"
+
 
 @pytest.fixture(scope="module")
 def seq():

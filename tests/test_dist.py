@@ -16,6 +16,7 @@ def test_mesh_shapes():
     assert m2.shape == {"data": 2, "model": 4}
 
 
+@pytest.mark.slow
 def test_sharded_ransac_matches_single(rng, kitti_calib, gt_poses):
     lm = synthetic.scatter_landmarks(rng, gt_poses[:10], 3000)
     tr = synthetic.make_tracks(
@@ -60,6 +61,7 @@ def test_frame_parallel_detect():
     np.testing.assert_allclose(np.asarray(feats.xy), np.asarray(ref.xy), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_pose_graph_matches_single(rng, gt_poses):
     import jax.numpy as jnp
 
@@ -88,6 +90,7 @@ def test_sharded_pose_graph_matches_single(rng, gt_poses):
     assert float(got.cost) < float(got.cost0)
 
 
+@pytest.mark.slow
 def test_scaling_harness_runs():
     from vo_tpu.dist import scaling
 

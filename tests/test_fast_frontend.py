@@ -76,6 +76,7 @@ def test_fast_and_exact_find_same_keypoints(stereo_pair):
     np.testing.assert_array_equal(np.asarray(fast.mask), np.asarray(exact.mask))
 
 
+@pytest.mark.slow
 def test_default_multi_peak_config_stays_covered(stereo_pair):
     """ADVICE r3: the SHIPPED default (fast_descriptor=True, n_orientations=2)
     had no parity coverage — the keypoint-equality test pins n_orientations=1.

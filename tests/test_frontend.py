@@ -113,6 +113,7 @@ def test_mutual_vs_matlab_unique_default():
     assert m_mut.a_idx[m_mut.mask][0] == 0 and m_mut.b_idx[m_mut.mask][0] == 0
 
 
+@pytest.mark.slow
 def test_track_cascade_mutual_delta(seq, small_cfg):
     """Quantify the cascade's behavioral delta between the MATLAB default
     (Unique=false -> mutual=False) and this engine's mutual=True default.
@@ -154,6 +155,7 @@ def test_track_cascade_mutual_delta(seq, small_cfg):
     assert overlap > 0.65, f"cascade diverges between mutual modes: {overlap:.2f}"
 
 
+@pytest.mark.slow
 def test_track_cascade(seq, small_cfg):
     mcfg = MatcherConfig()
     cap = 256

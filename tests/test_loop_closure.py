@@ -10,6 +10,8 @@ from vo_tpu.frontend.track import stereo_features
 from vo_tpu.io import kitti, synthetic
 from vo_tpu.slam.loop_closure import ArchivedKeyframe, LoopCloser, LoopConfig
 
+pytestmark = pytest.mark.slow  # multi-minute on the 2-core CI host; fast path = -m "not slow"
+
 
 @pytest.fixture(scope="module")
 def loop_setup():

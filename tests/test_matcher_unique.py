@@ -8,6 +8,7 @@ tests: (a) the semantic difference at the matcher level, (b) that the
 Unique=false behavior too.
 """
 import dataclasses
+import pytest
 
 import jax.numpy as jnp
 import numpy as np
@@ -56,6 +57,7 @@ def test_mutual_false_is_superset():
     assert n_nm >= n_m, (n_nm, n_m)
 
 
+@pytest.mark.slow
 def test_pipeline_with_reference_unique_false():
     """End-to-end parity run with the MATLAB default (mutual=False): the
     cascade's final re-align stage (VO.m:323-333) must keep correspondences

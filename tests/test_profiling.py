@@ -1,5 +1,6 @@
 """Observability utilities: stage timers, metrics JSONL, console telemetry."""
 import json
+import pytest
 
 import numpy as np
 
@@ -39,6 +40,7 @@ def test_pretty_frame():
     assert "frame 7" in s and "km/h" in s
 
 
+@pytest.mark.slow
 def test_runner_metrics_path(tmp_path):
     from vo_tpu.io import synthetic
     from vo_tpu.odometry import runner

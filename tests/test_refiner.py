@@ -117,6 +117,7 @@ def seq16():
     return synthetic.kitti_synthetic_sequence(n_frames=16, n_landmarks=3000, seed=7)
 
 
+@pytest.mark.slow
 class TestRefinerRunner:
     def test_ba_refiner_end_to_end(self, small_cfg, seq16):
         res = runner.run_sequence(seq16, small_cfg, warmup=False, use_ba=True)

@@ -28,6 +28,7 @@ def small_seq():
     )
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_bitexact(tmp_path, small_seq):
     """Full run == checkpointed run resumed mid-way (same poses, same map)."""
     from vo_tpu.odometry import runner
@@ -87,6 +88,7 @@ def test_figures_write(tmp_path):
         assert os.path.getsize(p) > 1000
 
 
+@pytest.mark.slow
 def test_cli_run_synthetic(tmp_path):
     """End-to-end CLI: synthetic run writes trajectory, metrics, figures."""
     env = dict(os.environ, JAX_PLATFORMS="cpu")

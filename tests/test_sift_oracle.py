@@ -16,6 +16,8 @@ from vo_tpu.config import MatcherConfig, SIFTConfig
 from vo_tpu.frontend.match import match
 from vo_tpu.frontend.sift import detect_and_describe
 
+pytestmark = pytest.mark.slow  # multi-minute on the 2-core CI host; fast path = -m "not slow"
+
 
 def _texture(h, w, seed=0, n_splats=180):
     """Smooth random splat texture with structure at several scales."""
