@@ -8,6 +8,21 @@ once the window holds >= 3 keyframes, the multi-frame tracks are assembled
 into a fixed-capacity BAProblem (ba.window) and jointly optimized, and the
 trajectory is corrected by the refined last-keyframe pose.
 
+MEASURED VALUE ON THIS PLATFORM: NONE (negative result, VERDICT r3 item 4).
+Across five regimes on the synthetic KITTI-geometry feed — noiseless
+600-frame, sensor noise 0.02 and 0.05, degraded RANSAC (64 hypotheses /
+2 refine iters), and keyframe_every=10 with ~100-frame windows — windowed
+BA changed final ATE by <= +/-0.0003 m (e.g. 0.1194 vs 0.1192 m at noise
+0.02) while costing up to ~30% throughput with loop closure on. The feed's
+error budget is dominated by slowly-varying, depth-coupled detection bias
+that is nearly rigid WITHIN any window, so intra-window reprojection
+refinement has nothing to observe; the non-compounding correction design
+(see optimize()) keeps it from hurting, but nothing here can make it help.
+``--ba`` is therefore documented default-off: the production configs are
+vo / vo_lc. The component remains available (and distributed:
+dist.ba_sharded) for platforms whose per-frame estimator is noisier than
+this engine's RANSAC-P3P front-end.
+
 Host/device split: window bookkeeping (id intersection, observation grid
 fill) is cheap numpy between jitted calls; the solver itself is one jitted
 Schur-complement program with static (K, M) shapes — compiled once, reused
