@@ -76,8 +76,8 @@ def preload_cached(
 
     The cache stores the GT poses it was rendered with and is invalidated on
     mismatch — a stale cache from an older trajectory generator must never be
-    evaluated against new GT (ADVICE r2). The v3 name tag marks the
-    opaque-composite renderer; bump it whenever the renderer changes.
+    evaluated against new GT (ADVICE r2). The v4 name tag marks the
+    100 m-visibility-horizon renderer; bump it whenever the renderer changes.
     """
     from vo_tpu.io import synthetic
 
@@ -86,7 +86,7 @@ def preload_cached(
     )
     sz = "" if image_size is None else f"_{image_size[0]}x{image_size[1]}"
     nz = "" if noise == 0.0 else f"_n{noise:g}"
-    cache = f"/tmp/longrun_frames_v3_{n_frames}_{n_landmarks}_{seed}{sz}{nz}.npz"
+    cache = f"/tmp/longrun_frames_v4_{n_frames}_{n_landmarks}_{seed}{sz}{nz}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
         if "poses" in z and z["poses"].shape == poses.shape and np.allclose(z["poses"], poses):
