@@ -54,6 +54,18 @@ def _add_run(sub):
         action="store_true",
         help="disable the appearance-retrieval candidate channel (proximity only)",
     )
+    p.add_argument(
+        "--loop-drift-frac",
+        type=float,
+        default=None,
+        help="closure benefit-gate slope per meter traveled since the candidate",
+    )
+    p.add_argument(
+        "--precision",
+        choices=("default", "float32"),
+        default=None,
+        help="step matmul precision (default=bf16 MXU rate; float32 forced with --ba)",
+    )
     return p
 
 
@@ -80,8 +92,12 @@ def _build_cfg(args):
         loop_kw["max_keyframes"] = args.loop_max_keyframes
     if args.no_loop_appearance:
         loop_kw["appearance"] = False
+    if args.loop_drift_frac is not None:
+        loop_kw["drift_frac"] = args.loop_drift_frac
     if loop_kw:
         cfg = dataclasses.replace(cfg, loop=dataclasses.replace(cfg.loop, **loop_kw))
+    if args.precision:
+        cfg = dataclasses.replace(cfg, matmul_precision=args.precision)
     return cfg
 
 
