@@ -115,10 +115,189 @@ def _optimize_impl(g: PoseGraph, iters: int, damping: float) -> PoseGraphResult:
         return (T_new, lam_new), None
 
     cost0 = cost_of(g.T_c2w)
+    # Start lambda AT the caller's damping (no 1e-4 floor): redistributing a
+    # loop correction along an n-node chain rides curvature modes with
+    # eigenvalues ~O(1/n^2) (~1e-5 at n=257), and lam=1e-4 suppresses
+    # exactly those modes — measured on the 4,500-frame run: 7 closures with
+    # mm-accurate loop edges moved keyframe RMS by only 0.002 m. The
+    # accept/reject logic already escalates lambda x10 on overshoot, so a
+    # small start costs at most a few rejected steps.
     (T, _), _ = jax.lax.scan(
-        gn_step, (g.T_c2w, jnp.asarray(max(damping, 1e-4), g.T_c2w.dtype)), None, length=iters
+        gn_step, (g.T_c2w, jnp.asarray(damping, g.T_c2w.dtype)), None, length=iters
     )
     return PoseGraphResult(T_c2w=T, cost0=cost0, cost=cost_of(T))
+
+
+# ---------------------------------------------------------------------------
+# Host-side float64 solver for the GLOBAL loop-closure graph.
+#
+# Redistributing a loop correction along an n-node odometry chain rides
+# curvature modes with eigenvalues ~O(1/n^2); at the reference scale
+# (n=257-512 after decimation) the dense 6n x 6n system's condition number
+# (~1e10 with the gauge anchor) exceeds f32 resolution, and the jitted f32
+# solve above silently under-corrects: measured on the 4,500-frame KITTI 00
+# run, 7 closures with mm-accurate loop edges moved keyframe RMS by 0.002 m.
+# TPUs have no native f64, and this solve is (a) rare — one per accepted
+# closure, cooldown-limited, (b) off the frame critical path (refiner worker
+# thread), and (c) tiny (<10 GFLOP) — so the right engineering is an exact
+# host solve here, keeping the jitted/sharded f32 path for the distributed
+# component and its equivalence tests.
+# ---------------------------------------------------------------------------
+
+
+def _np_exp_so3(w):
+    import numpy as np
+
+    theta2 = (w * w).sum(-1)
+    theta = np.sqrt(theta2 + 1e-300)
+    a = np.where(theta2 < 1e-16, 1.0 - theta2 / 6.0, np.sin(theta) / theta)
+    b = np.where(theta2 < 1e-16, 0.5 - theta2 / 24.0, (1.0 - np.cos(theta)) / np.maximum(theta2, 1e-300))
+    W = np.zeros(w.shape[:-1] + (3, 3))
+    W[..., 0, 1], W[..., 0, 2] = -w[..., 2], w[..., 1]
+    W[..., 1, 0], W[..., 1, 2] = w[..., 2], -w[..., 0]
+    W[..., 2, 0], W[..., 2, 1] = -w[..., 1], w[..., 0]
+    eye = np.broadcast_to(np.eye(3), W.shape)
+    return eye + a[..., None, None] * W + b[..., None, None] * (W @ W)
+
+
+def _np_exp_se3(xi):
+    import numpy as np
+
+    v, w = xi[..., :3], xi[..., 3:]
+    theta2 = (w * w).sum(-1)
+    theta = np.sqrt(theta2 + 1e-300)
+    R = _np_exp_so3(w)
+    W = np.zeros(w.shape[:-1] + (3, 3))
+    W[..., 0, 1], W[..., 0, 2] = -w[..., 2], w[..., 1]
+    W[..., 1, 0], W[..., 1, 2] = w[..., 2], -w[..., 0]
+    W[..., 2, 0], W[..., 2, 1] = -w[..., 1], w[..., 0]
+    b = np.where(theta2 < 1e-16, 0.5 - theta2 / 24.0, (1.0 - np.cos(theta)) / np.maximum(theta2, 1e-300))
+    c = np.where(
+        theta2 < 1e-16, 1.0 / 6.0 - theta2 / 120.0, (theta - np.sin(theta)) / np.maximum(theta2 * theta, 1e-300)
+    )
+    eye = np.broadcast_to(np.eye(3), W.shape)
+    V = eye + b[..., None, None] * W + c[..., None, None] * (W @ W)
+    T = np.zeros(xi.shape[:-1] + (4, 4))
+    T[..., :3, :3] = R
+    T[..., :3, 3] = np.einsum("...ij,...j->...i", V, v)
+    T[..., 3, 3] = 1.0
+    return T
+
+
+def _np_log_se3(T):
+    import numpy as np
+
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_t = np.clip((trace - 1.0) / 2.0, -1.0, 1.0)
+    vvec = np.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    sin_t = 0.5 * np.sqrt((vvec * vvec).sum(-1) + 1e-300)
+    theta = np.arctan2(sin_t, cos_t)
+    scale = np.where(theta < 1e-8, 0.5 + theta * theta / 12.0, theta / np.maximum(2.0 * sin_t, 1e-300))
+    w = vvec * scale[..., None]
+    theta2 = (w * w).sum(-1)
+    W = np.zeros(w.shape[:-1] + (3, 3))
+    W[..., 0, 1], W[..., 0, 2] = -w[..., 2], w[..., 1]
+    W[..., 1, 0], W[..., 1, 2] = w[..., 2], -w[..., 0]
+    W[..., 2, 0], W[..., 2, 1] = -w[..., 1], w[..., 0]
+    coef = np.where(
+        theta2 < 1e-16,
+        1.0 / 12.0 + theta2 / 720.0,
+        (1.0 - np.sqrt(theta2) * np.sin(np.sqrt(theta2)) / np.maximum(2.0 * (1.0 - np.cos(np.sqrt(theta2))), 1e-300))
+        / np.maximum(theta2, 1e-300),
+    )
+    eye = np.broadcast_to(np.eye(3), W.shape)
+    Vinv = eye - 0.5 * W + coef[..., None, None] * (W @ W)
+    v = np.einsum("...ij,...j->...i", Vinv, t)
+    return np.concatenate([v, w], axis=-1)
+
+
+def optimize_np(T_c2w, edge_i, edge_j, edge_T, edge_weight, iters: int = 10, damping: float = 1e-9):
+    """Exact-size float64 LM on the loop-closure graph (see block comment).
+
+    Args are plain numpy: T_c2w [n,4,4]; edge_* [E] / [E,4,4] (all edges
+    valid — callers drop padding). Returns (T [n,4,4] f64, cost0, cost).
+    """
+    import numpy as np
+
+    T = np.asarray(T_c2w, np.float64).copy()
+    ei = np.asarray(edge_i)
+    ej = np.asarray(edge_j)
+    Z = np.asarray(edge_T, np.float64)
+    w = np.asarray(edge_weight, np.float64)
+    n = T.shape[0]
+    Zinv = np.linalg.inv(Z)
+
+    def residuals(T):
+        Ti = T[ei]
+        Tj = T[ej]
+        return _np_log_se3(Zinv @ np.linalg.inv(Ti) @ Tj)  # [E, 6]
+
+    def cost_of(T):
+        r = residuals(T)
+        return float((w * (r * r).sum(-1)).sum())
+
+    eps = 1e-7
+    lam = damping
+    cost = cost_of(T)
+    cost0 = cost
+    for _ in range(iters):
+        r = residuals(T)
+        # Finite-difference Jacobians of the LEFT-multiplicative increments,
+        # vectorized over edges: 12 perturbed residual sweeps.
+        Ji = np.zeros((r.shape[0], 6, 6))
+        Jj = np.zeros((r.shape[0], 6, 6))
+        Ti = T[ei]
+        Tj = T[ej]
+        base = Zinv @ np.linalg.inv(Ti) @ Tj
+        for d in range(6):
+            xi = np.zeros(6)
+            xi[d] = eps
+            E = _np_exp_se3(xi)
+            r_i = _np_log_se3(Zinv @ np.linalg.inv(E[None] @ Ti) @ Tj)
+            r_j = _np_log_se3(base @ np.linalg.inv(Tj) @ (E[None] @ Tj))
+            Ji[:, :, d] = (r_i - r) / eps
+            Jj[:, :, d] = (r_j - r) / eps
+        H = np.zeros((n, 6, n, 6))
+        b = np.zeros((n, 6))
+        Jiw = Ji * w[:, None, None]
+        Jjw = Jj * w[:, None, None]
+        np.add.at(H, (ei, slice(None), ei, slice(None)), np.einsum("eab,eac->ebc", Jiw, Ji))
+        np.add.at(H, (ej, slice(None), ej, slice(None)), np.einsum("eab,eac->ebc", Jjw, Jj))
+        Hij = np.einsum("eab,eac->ebc", Jiw, Jj)
+        np.add.at(H, (ei, slice(None), ej, slice(None)), Hij)
+        np.add.at(H, (ej, slice(None), ei, slice(None)), np.swapaxes(Hij, -1, -2))
+        np.add.at(b, ei, -np.einsum("eab,ea->eb", Jiw, r))
+        np.add.at(b, ej, -np.einsum("eab,ea->eb", Jjw, r))
+        Hm = H.reshape(6 * n, 6 * n)
+        # Gauge: node 0 anchored by penalty (f64 makes the conditioning moot).
+        diag = np.zeros(n)
+        diag[0] = 1e9
+        for k in range(n):
+            Hm[6 * k : 6 * k + 6, 6 * k : 6 * k + 6] += (diag[k] + lam) * np.eye(6)
+        try:
+            dxi = np.linalg.solve(Hm, b.reshape(-1)).reshape(n, 6)
+        except np.linalg.LinAlgError:
+            lam = max(lam * 10.0, 1e-6)
+            continue
+        T_try = _np_exp_se3(dxi) @ T
+        c_try = cost_of(T_try)
+        if c_try < cost:
+            T, cost = T_try, c_try
+            lam = max(lam * 0.3, 1e-12)
+            if cost0 > 0 and cost < 1e-10 * max(cost0, 1.0):
+                break
+        else:
+            lam = max(lam * 10.0, 1e-9) * 10.0
+    return T, cost0, cost
 
 
 def odometry_edges(T_c2w: jnp.ndarray, weight: float = 1.0):

@@ -113,7 +113,6 @@ class LoopCloser:
             return jax.vmap(one)(cand_lpx, cand_rpx, cand_desc, cand_mask, keys)
 
         self._verify_prog = jax.jit(_verify_fused)
-        self._optimize = jax.jit(lambda g: pg.optimize(g, iters=cfg.graph_iters))
         self._key = jax.random.PRNGKey(17)
 
     # -- detection ----------------------------------------------------------
@@ -293,44 +292,36 @@ class LoopCloser:
         )
 
     def _solve_graph(self) -> Optional[np.ndarray]:
-        K = self.cfg.max_keyframes
+        """Exact-size f64 host solve (pg.optimize_np). Runs on the refiner
+        worker thread, once per accepted closure — the jitted f32 pose-graph
+        program (pg.optimize / dist.pose_graph_sharded) under-corrects at
+        this node count: the chain-redistribution modes have curvature
+        ~O(1/n^2) and fall below f32 resolution against the gauge anchor
+        (see the optimize_np block comment for the measurement)."""
         n = len(self.keyframes)
-        E_cap = K + self.cfg.max_loop_edges
-        T0 = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
-        for k, kf in enumerate(self.keyframes):
-            T0[k] = kf.pose_c2w
-        ei = np.zeros(E_cap, np.int32)
-        ej = np.zeros(E_cap, np.int32)
-        eT = np.tile(np.eye(4, dtype=np.float32), (E_cap, 1, 1))
-        em = np.zeros(E_cap, bool)
-        ew = np.zeros(E_cap, np.float32)
-        # Odometry edges between consecutive keyframes (current estimates).
-        for k in range(n - 1):
-            ei[k], ej[k] = k, k + 1
-            eT[k] = np.linalg.inv(self.keyframes[k].pose_c2w) @ self.keyframes[k + 1].pose_c2w
-            em[k] = True
-            ew[k] = self.cfg.odometry_weight
-        # Loop edges.
-        for idx, (a, b, Z) in enumerate(self.loop_edges):
-            j = K + idx - 0
-            if j >= E_cap:
-                break
-            ei[j], ej[j] = a, b
-            eT[j] = Z
-            em[j] = True
-            ew[j] = self.cfg.loop_weight
-        g = pg.PoseGraph(
-            T_c2w=jnp.asarray(T0),
-            edge_i=jnp.asarray(ei),
-            edge_j=jnp.asarray(ej),
-            edge_T=jnp.asarray(eT),
-            edge_mask=jnp.asarray(em),
-            edge_weight=jnp.asarray(ew),
+        T0 = np.stack([kf.pose_c2w for kf in self.keyframes]).astype(np.float64)
+        ei = list(range(n - 1))
+        ej = list(range(1, n))
+        eT = [
+            np.linalg.inv(T0[k]) @ T0[k + 1] for k in range(n - 1)
+        ]
+        ew = [self.cfg.odometry_weight] * (n - 1)
+        for a, b, Z in self.loop_edges:
+            ei.append(a)
+            ej.append(b)
+            eT.append(np.asarray(Z, np.float64))
+            ew.append(self.cfg.loop_weight)
+        T, cost0, cost = pg.optimize_np(
+            T0,
+            np.asarray(ei, np.int64),
+            np.asarray(ej, np.int64),
+            np.stack(eT),
+            np.asarray(ew, np.float64),
+            iters=self.cfg.graph_iters,
         )
-        res = self._optimize(g)
-        if not np.isfinite(float(res.cost)):
+        if not np.isfinite(cost) or cost > cost0:
             return None
-        T = np.asarray(res.T_c2w)[:n]
+        T = T.astype(np.float32)
         for k, kf in enumerate(self.keyframes):
             kf.pose_c2w = T[k]
         return T
