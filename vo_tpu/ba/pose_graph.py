@@ -150,8 +150,8 @@ def _np_exp_so3(w):
 
     theta2 = (w * w).sum(-1)
     theta = np.sqrt(theta2 + 1e-300)
-    a = np.where(theta2 < 1e-16, 1.0 - theta2 / 6.0, np.sin(theta) / theta)
-    b = np.where(theta2 < 1e-16, 0.5 - theta2 / 24.0, (1.0 - np.cos(theta)) / np.maximum(theta2, 1e-300))
+    a = np.where(theta2 < 1e-8, 1.0 - theta2 / 6.0, np.sin(theta) / theta)
+    b = np.where(theta2 < 1e-8, 0.5 - theta2 / 24.0, (1.0 - np.cos(theta)) / np.maximum(theta2, 1e-300))
     W = np.zeros(w.shape[:-1] + (3, 3))
     W[..., 0, 1], W[..., 0, 2] = -w[..., 2], w[..., 1]
     W[..., 1, 0], W[..., 1, 2] = w[..., 2], -w[..., 0]
@@ -171,9 +171,9 @@ def _np_exp_se3(xi):
     W[..., 0, 1], W[..., 0, 2] = -w[..., 2], w[..., 1]
     W[..., 1, 0], W[..., 1, 2] = w[..., 2], -w[..., 0]
     W[..., 2, 0], W[..., 2, 1] = -w[..., 1], w[..., 0]
-    b = np.where(theta2 < 1e-16, 0.5 - theta2 / 24.0, (1.0 - np.cos(theta)) / np.maximum(theta2, 1e-300))
+    b = np.where(theta2 < 1e-8, 0.5 - theta2 / 24.0, (1.0 - np.cos(theta)) / np.maximum(theta2, 1e-300))
     c = np.where(
-        theta2 < 1e-16, 1.0 / 6.0 - theta2 / 120.0, (theta - np.sin(theta)) / np.maximum(theta2 * theta, 1e-300)
+        theta2 < 1e-8, 1.0 / 6.0 - theta2 / 120.0, (theta - np.sin(theta)) / np.maximum(theta2 * theta, 1e-300)
     )
     eye = np.broadcast_to(np.eye(3), W.shape)
     V = eye + b[..., None, None] * W + c[..., None, None] * (W @ W)
@@ -201,7 +201,7 @@ def _np_log_se3(T):
     )
     sin_t = 0.5 * np.sqrt((vvec * vvec).sum(-1) + 1e-300)
     theta = np.arctan2(sin_t, cos_t)
-    scale = np.where(theta < 1e-8, 0.5 + theta * theta / 12.0, theta / np.maximum(2.0 * sin_t, 1e-300))
+    scale = np.where(theta < 1e-4, 0.5 + theta * theta / 12.0, theta / np.maximum(2.0 * sin_t, 1e-300))
     w = vvec * scale[..., None]
     theta2 = (w * w).sum(-1)
     W = np.zeros(w.shape[:-1] + (3, 3))
@@ -209,7 +209,7 @@ def _np_log_se3(T):
     W[..., 1, 0], W[..., 1, 2] = w[..., 2], -w[..., 0]
     W[..., 2, 0], W[..., 2, 1] = -w[..., 1], w[..., 0]
     coef = np.where(
-        theta2 < 1e-16,
+        theta2 < 1e-8,
         1.0 / 12.0 + theta2 / 720.0,
         (1.0 - np.sqrt(theta2) * np.sin(np.sqrt(theta2)) / np.maximum(2.0 * (1.0 - np.cos(np.sqrt(theta2))), 1e-300))
         / np.maximum(theta2, 1e-300),
@@ -243,7 +243,9 @@ def optimize_np(T_c2w, edge_i, edge_j, edge_T, edge_weight, iters: int = 10, dam
 
     def cost_of(T):
         r = residuals(T)
-        return float((w * (r * r).sum(-1)).sum())
+        with np.errstate(over="ignore", invalid="ignore"):
+            c = float((w * (r * r).sum(-1)).sum())
+        return c if np.isfinite(c) else np.inf  # wild trial step -> reject
 
     eps = 1e-7
     lam = damping

@@ -231,6 +231,7 @@ class RefinerWorker:
                 discs = sorted(e[1] for e in ev)
                 s["lc_disc_max_m"] = discs[-1]
                 s["lc_disc_p50_m"] = discs[len(discs) // 2]
+            s.update({f"worker_lc_{k}_s": round(v, 3) for k, v in self.lclo.phase_s.items()})
         s.update({f"worker_{k}_s": round(v, 3) for k, v in self._phase_s.items()})
         return s
 
@@ -245,10 +246,28 @@ class RefinerWorker:
 
     # -- worker thread --------------------------------------------------------
 
+    def _finalize(self) -> None:
+        """Collect the LoopCloser's final in-flight verification round (the
+        pipelined dispatch at the last keyframe has no successor to collect
+        it) and fold an end-of-run closure into the ledger."""
+        if self.lclo is None:
+            return
+        res = self.lclo.flush()
+        if res is None:
+            return
+        self._loops_closed += 1
+        surv = {akf.frame_idx: akf.pose_c2w.copy() for akf in self.lclo.keyframes}
+        with self._lock:
+            propagate_closure(self._kf_order, self._kf_corrected, self._kf_chain, surv)
+
     def _run(self) -> None:
         while True:
             job = self._q.get()
             if job is None:
+                try:
+                    self._finalize()
+                except BaseException as e:  # surfaced on the main thread
+                    self._error = e
                 self._q.task_done()
                 return
             try:

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import time
 from typing import Optional
 
 import jax
@@ -87,6 +88,12 @@ class LoopCloser:
         # the gate's decision log (diagnosing "why did no loop close").
         self.disc_events: list[tuple] = []
         self._cooldown_left = 0
+        # In-flight verification round: (verified_frame_idx, [cand frame_idx],
+        # device outputs). Dispatched at keyframe t, collected at t+1.
+        self._pending = None
+        # Wall-clock per phase (candidates / dispatch / collect / solve) —
+        # exported through refiner stats as worker_lc_<phase>_s.
+        self.phase_s: dict[str, float] = {}
         self._path_m = 0.0  # cumulative keyframe-chain trajectory length
         self._last_t: np.ndarray | None = None
 
@@ -158,9 +165,13 @@ class LoopCloser:
             )
         return kf.dev
 
-    def _verify_batch(self, cands: list[ArchivedKeyframe], cur: ArchivedKeyframe) -> list[Optional[np.ndarray]]:
-        """One fused dispatch for every candidate. Returns, per candidate,
-        Z = pose of CURRENT camera in CANDIDATE camera frame, or None."""
+    def _dispatch_verify(self, cands: list[ArchivedKeyframe], cur: ArchivedKeyframe):
+        """ONE fused dispatch for every candidate; returns the in-flight
+        device outputs (async host copies started, NOT read). The result is
+        collected one keyframe later (_collect_verify): blocking here would
+        serialize the worker against the frame loop's run-ahead device queue
+        (measured ~0.5-0.75 s per round of pure queue wait at 4,500 frames),
+        while a one-keyframe-delayed closure decision costs nothing."""
         B = self.cfg.candidate_budget
         n = len(cands)
         padded = cands + [cands[0]] * (B - n)  # static batch; extras ignored
@@ -168,25 +179,34 @@ class LoopCloser:
         keys = jax.random.split(sub, B)
         devs = [self._dev_of(c) for c in padded]
         cur_dev = self._dev_of(cur)
-        ok, n_inliers, poses, n_matches = jax.tree.map(
-            np.asarray,
-            self._verify_prog(
-                jnp.stack([d[0] for d in devs]),
-                jnp.stack([d[1] for d in devs]),
-                jnp.stack([d[2] for d in devs]),
-                jnp.stack([d[3] for d in devs]),
-                cur_dev[0],
-                cur_dev[2],
-                cur_dev[3],
-                keys,
-            ),
+        outs = self._verify_prog(
+            jnp.stack([d[0] for d in devs]),
+            jnp.stack([d[1] for d in devs]),
+            jnp.stack([d[2] for d in devs]),
+            jnp.stack([d[3] for d in devs]),
+            cur_dev[0],
+            cur_dev[2],
+            cur_dev[3],
+            keys,
         )
+        for o in outs:
+            try:
+                o.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+        return outs
+
+    @staticmethod
+    def _collect_verify(outs, n: int, min_inliers: int) -> list[Optional[np.ndarray]]:
+        """Read a dispatched round: per candidate, Z = pose of the verified
+        camera in the candidate camera frame, or None."""
+        ok, n_inliers, poses, n_matches = jax.tree.map(np.asarray, outs)
         out: list[Optional[np.ndarray]] = []
         for b in range(n):
             good = (
-                int(n_matches[b]) >= self.cfg.min_inliers
+                int(n_matches[b]) >= min_inliers
                 and bool(ok[b])
-                and int(n_inliers[b]) >= self.cfg.min_inliers
+                and int(n_inliers[b]) >= min_inliers
             )
             out.append(poses[b] if good else None)
         return out
@@ -196,6 +216,12 @@ class LoopCloser:
         """Archive kf, try to close a loop, and if one verifies, re-optimize
         the global graph. Returns {'corrected': [K,4,4], 'loop': (old,new)}
         or None.
+
+        Verification is PIPELINED one keyframe deep: this call collects the
+        round dispatched at the previous keyframe (so an accepted closure is
+        reported one keyframe late — 5 frames — which costs nothing) and
+        dispatches a new round for ``kf`` without blocking on the device.
+        Call flush() at end of run to collect the final in-flight round.
 
         At node capacity the keyframe set is DECIMATED (every 2nd keyframe
         kept, newest always kept) instead of silently freezing: the graph
@@ -212,21 +238,58 @@ class LoopCloser:
         self.keyframes.append(kf)
         if len(self.keyframes) > self.cfg.max_keyframes:
             self._decimate()
+        # Collect the round dispatched at the previous keyframe FIRST (its
+        # async host copies have had a full keyframe period to complete).
+        result = self._collect_pending()
         if self._cooldown_left > 0:
             self._cooldown_left -= 1
-            return None
-        cur_k = len(self.keyframes) - 1
+            return result
+        t0 = time.perf_counter()
         cand_idx = self._candidates(kf.pose_c2w, kf.global_desc)
+        self._tick("candidates", t0)
         if not cand_idx:
-            return None
+            return result
         # Pace verification: a revisit keeps proposing the same neighborhood
         # for tens of keyframes; one round per verify_cooldown keyframes
-        # bounds the tunnel round trips without losing recall.
+        # bounds the device dispatches without losing recall.
         self._cooldown_left = max(self._cooldown_left, self.cfg.verify_cooldown)
-        Zs = self._verify_batch([self.keyframes[k] for k in cand_idx], kf)
-        for k, Z in zip(cand_idx, Zs):
-            if Z is None:
+        t0 = time.perf_counter()
+        outs = self._dispatch_verify([self.keyframes[k] for k in cand_idx], kf)
+        self._tick("dispatch", t0)
+        self._pending = (
+            kf.frame_idx,
+            [self.keyframes[k].frame_idx for k in cand_idx],
+            outs,
+        )
+        return result
+
+    def _tick(self, phase: str, t0: float) -> None:
+        self.phase_s[phase] = self.phase_s.get(phase, 0.0) + time.perf_counter() - t0
+
+    def flush(self) -> Optional[dict]:
+        """Collect the final in-flight verification round (end of run)."""
+        return self._collect_pending()
+
+    def _collect_pending(self) -> Optional[dict]:
+        """Read the round dispatched at the PREVIOUS keyframe and run the
+        gate / graph-solve logic on it. Keyframes are resolved by frame_idx
+        (a decimation may have run since dispatch)."""
+        if self._pending is None:
+            return None
+        ver_fi, cand_fis, outs = self._pending
+        self._pending = None
+        by_fi = {k.frame_idx: i for i, k in enumerate(self.keyframes)}
+        if ver_fi not in by_fi:
+            return None  # verified keyframe was decimated away
+        cur_k = by_fi[ver_fi]
+        kf = self.keyframes[cur_k]
+        t0 = time.perf_counter()
+        Zs = self._collect_verify(outs, len(cand_fis), self.cfg.min_inliers)
+        self._tick("collect", t0)
+        for cf, Z in zip(cand_fis, Zs):
+            if Z is None or cf not in by_fi:
                 continue
+            k = by_fi[cf]
             # Benefit gate: the loop implies the current camera sits at
             # cand_pose @ Z; if that only disagrees with the chained pose by
             # less than the expected noise, the "correction" is verification
@@ -261,7 +324,9 @@ class LoopCloser:
             self.loop_edges.append((k, cur_k, Z))
             if len(self.loop_edges) > self.cfg.max_loop_edges:
                 self.loop_edges.pop(0)
+            t0 = time.perf_counter()
             corrected = self._solve_graph()
+            self._tick("solve", t0)
             if corrected is not None:
                 self._cooldown_left = self.cfg.cooldown
                 return dict(corrected=corrected, loop=(k, cur_k))
