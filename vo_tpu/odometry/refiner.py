@@ -43,9 +43,9 @@ from ..geom.camera import StereoCalib
 class _KeyframeJob:
     """Device arrays captured at a keyframe boundary (host copies in flight)."""
 
-    __slots__ = ("frame_idx", "pose", "l_xy", "r_xy", "l_desc", "mask", "ids", "assoc")
+    __slots__ = ("frame_idx", "pose", "l_xy", "r_xy", "l_desc", "mask", "ids", "assoc", "gdesc")
 
-    def __init__(self, frame_idx, pose, l_xy, r_xy, l_desc, mask, ids, assoc=None):
+    def __init__(self, frame_idx, pose, l_xy, r_xy, l_desc, mask, ids, assoc=None, gdesc=None):
         self.frame_idx = frame_idx
         self.pose = pose
         self.l_xy = l_xy
@@ -57,6 +57,11 @@ class _KeyframeJob:
         # from the runner's on-device keyframe associator (ba_runner.
         # WindowAssociator); None when BA is off.
         self.assoc = assoc
+        # [128] device global descriptor (loop closure retrieval): computed
+        # on device at submit so the worker reads 512 B instead of the
+        # [C, 128] descriptor block (899 keyframes x 512 KB saturated the
+        # tunnel downlink against the frame uploads at reference scale).
+        self.gdesc = gdesc
 
 
 def _start_async_copy(arr):
@@ -126,9 +131,24 @@ class RefinerWorker:
         else:
             self.associator = None
         if use_loop_closure:
+            import jax
+            import jax.numpy as jnp
+
             from ..slam.loop_closure import LoopCloser
 
             self.lclo = LoopCloser(calib, cfg.loop, matcher=cfg.matcher)
+
+            # On-device global descriptor (mirror of loop_closure._global_desc).
+            @jax.jit
+            def _gdesc(d, m):
+                mf = m.astype(jnp.float32)[:, None]
+                s = (d * mf).sum(0) / jnp.maximum(mf.sum(), 1.0)
+                n = jnp.linalg.norm(s)
+                return jnp.where(n > 1e-12, s / n, s)
+
+            self._gdesc_fn = _gdesc
+        else:
+            self._gdesc_fn = None
         # frame_idx -> latest corrected [4,4] pose (worker-owned, lock-guarded)
         self._kf_corrected: dict[int, np.ndarray] = {}
         # frame_idx -> loop-corrected CHAIN pose (excludes window-BA deltas).
@@ -163,14 +183,22 @@ class RefinerWorker:
             pose_dev,
             prev_feats.l_xy,
             prev_feats.r_xy,
-            # Descriptors are only read by loop closure — skip the [C, 128]
-            # copy (the largest payload) when it's disabled.
+            # Device refs for loop-closure verification (never host-copied).
             prev_feats.l_desc if self.lclo is not None else None,
             prev_feats.mask,
             prev_feats.ids,
             assoc=assoc,
+            gdesc=self._gdesc_fn(prev_feats.l_desc, prev_feats.mask)
+            if self._gdesc_fn is not None
+            else None,
         )
-        for name in ("pose", "l_xy", "r_xy", "l_desc", "mask", "ids"):
+        # Host copies: pose always (64 B); the [C, *] feature payloads only
+        # when window BA assembles on the host — the loop closer works from
+        # the device refs + the 512 B global descriptor.
+        copy_names = ["pose", "gdesc"]
+        if self.wba is not None:
+            copy_names += ["l_xy", "r_xy", "mask", "ids"]
+        for name in copy_names:
             arr = getattr(job, name)
             if arr is not None:
                 _start_async_copy(arr)
@@ -281,9 +309,12 @@ class RefinerWorker:
         t0 = time.perf_counter()
         pose_chain = np.asarray(job.pose, np.float64)
         pose = (self._D @ pose_chain).astype(np.float32)
-        l_xy = np.asarray(job.l_xy, np.float32)
-        r_xy = np.asarray(job.r_xy, np.float32)
-        mask = np.asarray(job.mask, bool)
+        if self.wba is not None:  # host-side window assembly needs these
+            l_xy = np.asarray(job.l_xy, np.float32)
+            r_xy = np.asarray(job.r_xy, np.float32)
+            mask = np.asarray(job.mask, bool)
+        else:
+            l_xy = r_xy = mask = None
         snapshot = pose.copy()
         with self._lock:
             self._kf_corrected[job.frame_idx] = pose
@@ -299,12 +330,14 @@ class RefinerWorker:
                 ArchivedKeyframe(
                     frame_idx=job.frame_idx,
                     pose_c2w=pose,
+                    # Host copies are not needed by the closer: verification
+                    # runs from the device refs, retrieval from the device-
+                    # computed global descriptor (512 B read vs 512 KB).
                     l_px=l_xy,
                     r_px=r_xy,
-                    l_desc=np.asarray(job.l_desc, np.float32),
+                    l_desc=None,
                     mask=mask,
-                    # Pass the step's own device arrays through so candidate
-                    # verification never re-uploads payloads over the tunnel.
+                    global_desc=np.asarray(job.gdesc, np.float32),
                     dev=(job.l_xy, job.r_xy, job.l_desc, job.mask),
                 )
             )
