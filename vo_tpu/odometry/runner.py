@@ -141,6 +141,8 @@ def run_sequence(
     )
 
     def to_device(img):
+        if isinstance(img, jax.Array):
+            return img  # feed pre-staged in device HBM (e.g. tools/bigrun.py)
         a = np.asarray(img)
         if a.dtype != np.uint8:
             # Quantize to the camera's native 8 bits: 4x less tunnel traffic.
