@@ -249,3 +249,45 @@ class TestLoopCloserCapacity:
         assert lc.keyframes[-1].frame_idx == 29
         # Coverage spans the whole run (first keyframe kept).
         assert lc.keyframes[0].frame_idx == 0
+
+    def test_decimation_reanchors_loop_edges(self):
+        """Loop edges whose endpoint is decimated must survive, reanchored
+        onto the nearest surviving keyframe with a consistent measurement
+        (previously dropped — each closure's constraint died at the next
+        decimation)."""
+        from vo_tpu.io import kitti
+        from vo_tpu.slam.loop_closure import ArchivedKeyframe, LoopCloser, LoopConfig
+
+        calib = kitti.load_stereo_calib("/root/reference/kitti/00")
+        cfg = LoopConfig(max_keyframes=8, min_gap=100)
+        lc = LoopCloser(calib, cfg)
+        z2 = np.zeros((4, 2), np.float32)
+        zd = np.zeros((4, 128), np.float32)
+        zm = np.zeros(4, bool)
+        poses = []
+        for i in range(8):
+            pose = np.eye(4, dtype=np.float32)
+            pose[0, 3] = float(i)
+            poses.append(pose)
+            lc.add_keyframe(
+                ArchivedKeyframe(
+                    frame_idx=i, pose_c2w=pose, l_px=z2, r_px=z2, l_desc=zd, mask=zm
+                )
+            )
+        # Consistent loop edge between keyframes 1 and 7 (both odd: endpoint
+        # 1 and 7... keep=0,2,4,6,7+newest — endpoint 1 will be decimated).
+        Z = np.linalg.inv(poses[1].astype(np.float64)) @ poses[7].astype(np.float64)
+        lc.loop_edges.append((1, 7, Z.astype(np.float32)))
+        # 9th keyframe triggers decimation.
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = 8.0
+        lc.add_keyframe(
+            ArchivedKeyframe(frame_idx=8, pose_c2w=pose, l_px=z2, r_px=z2, l_desc=zd, mask=zm)
+        )
+        assert lc.decimations == 1
+        assert len(lc.loop_edges) == 1, "reanchored edge was dropped"
+        a, b, Zn = lc.loop_edges[0]
+        Ta = lc.keyframes[a].pose_c2w.astype(np.float64)
+        Tb = lc.keyframes[b].pose_c2w.astype(np.float64)
+        # Constraint consistency: T_a' @ Z' == T_b' (poses are exact here).
+        np.testing.assert_allclose(Ta @ Zn, Tb, atol=1e-4)

@@ -335,20 +335,42 @@ class LoopCloser:
     def _decimate(self) -> None:
         """Halve keyframe density: keep even-position keyframes + the newest.
 
-        Loop edges are index pairs into ``keyframes``; edges whose endpoints
-        survive are remapped, the rest dropped (they re-verify naturally when
-        the area is revisited). Odometry edges are rebuilt from the surviving
-        poses at the next solve, so no relative measurement goes stale."""
+        Loop edges are index pairs into ``keyframes``; endpoints that are
+        decimated away are REANCHORED onto their nearest surviving neighbor
+        by composing the measurement with the current relative estimate
+        (Z' = inv(T_surv) T_dropped Z for the source side) — the gap to the
+        neighbor is one keyframe (~meters of travel), so the composition
+        adds negligible odometry error while keeping the closure constraint
+        alive (previously dropped: BIGRUN probes logged '0/1 loop edges
+        kept', losing each closure's constraint at the next decimation).
+        Odometry edges are rebuilt from the surviving poses at the next
+        solve, so no relative measurement goes stale."""
         n = len(self.keyframes)
         keep = [i for i in range(n) if i % 2 == 0 or i == n - 1]
         remap = {old: new for new, old in enumerate(keep)}
+        keep_arr = np.asarray(keep)
+        T_old = [kf.pose_c2w.astype(np.float64) for kf in self.keyframes]
         n_edges_before = len(self.loop_edges)
+
+        def reanchor(idx: int) -> tuple[int, np.ndarray, np.ndarray]:
+            """(new_index, T_anchor_old, T_orig_old) for a pre-decimation index."""
+            if idx in remap:
+                return remap[idx], T_old[idx], T_old[idx]
+            j = int(keep_arr[np.argmin(np.abs(keep_arr - idx))])
+            return remap[j], T_old[j], T_old[idx]
+
+        new_edges = []
+        for a, b, Z in self.loop_edges:
+            na, Ta_s, Ta = reanchor(a)
+            nb, Tb_s, Tb = reanchor(b)
+            if na == nb:
+                continue  # both endpoints collapsed onto one keyframe
+            # Z maps candidate(a) frame -> verified(b) camera: T_a Z ~ T_b.
+            # Reanchored: T_a' Z' ~ T_b' with Z' = inv(T_a') T_a Z inv(T_b) T_b'.
+            Zn = np.linalg.inv(Ta_s) @ Ta @ np.asarray(Z, np.float64) @ np.linalg.inv(Tb) @ Tb_s
+            new_edges.append((na, nb, Zn.astype(np.float32)))
         self.keyframes = [self.keyframes[i] for i in keep]
-        self.loop_edges = [
-            (remap[a], remap[b], Z)
-            for (a, b, Z) in self.loop_edges
-            if a in remap and b in remap
-        ]
+        self.loop_edges = new_edges
         self.decimations += 1
         logger.warning(
             "LoopCloser at node capacity (%d): decimated to %d keyframes "
