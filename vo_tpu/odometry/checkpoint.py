@@ -91,6 +91,7 @@ def load(path: str) -> Checkpoint:
         prev_rel=jnp.asarray(z["prev_rel"]),
         frame_idx=jnp.asarray(z["state_frame_idx"]),
         next_id=jnp.asarray(z["next_id"]),
+        key=jnp.asarray(z["key"]),  # PRNG key lives in the state (pipeline)
     )
     cap = int(z["lm_capacity"])
     lmap = None

@@ -46,6 +46,10 @@ class VOState(NamedTuple):
     prev_rel: jnp.ndarray  # [4, 4] last relative pose (constant-velocity fallback)
     frame_idx: jnp.ndarray  # scalar int32
     next_id: jnp.ndarray  # scalar int32 — persistent track-id counter
+    # PRNG key, split INSIDE the jitted step: a separate per-frame
+    # jax.random.split dispatch costs ~3.5 ms of per-op latency over the
+    # tunneled TPU (measured: 16.0 -> 12.5 ms/frame with the split removed).
+    key: jnp.ndarray
 
 
 class FrameOutput(NamedTuple):
@@ -65,7 +69,7 @@ class FrameOutput(NamedTuple):
     new_lm_mask: jnp.ndarray  # [C]
 
 
-def init_state(cfg: PipelineConfig) -> VOState:
+def init_state(cfg: PipelineConfig, seed: int = 0) -> VOState:
     c = cfg.max_tracks
     z2 = jnp.zeros((c, 2), jnp.float32)
     zd = jnp.zeros((c, 128), jnp.float32)
@@ -79,7 +83,12 @@ def init_state(cfg: PipelineConfig) -> VOState:
     )
     eye = jnp.eye(4, dtype=jnp.float32)
     return VOState(
-        prev=prev, pose_c2w=eye, prev_rel=eye, frame_idx=jnp.int32(0), next_id=jnp.int32(0)
+        prev=prev,
+        pose_c2w=eye,
+        prev_rel=eye,
+        frame_idx=jnp.int32(0),
+        next_id=jnp.int32(0),
+        key=jax.random.PRNGKey(seed),
     )
 
 
@@ -94,12 +103,19 @@ def vo_step(
     state: VOState,
     left: jnp.ndarray,
     right: jnp.ndarray,
-    key: jax.Array,
+    key: jax.Array | None,
     calib: StereoCalib,
     cfg: PipelineConfig,
 ) -> tuple[VOState, FrameOutput]:
-    """One frame. Jit with static (calib-as-weak-static via closure, cfg static)."""
+    """One frame. Jit with static (calib-as-weak-static via closure, cfg static).
+
+    ``key=None`` draws from ``state.key`` (split inside the program — the
+    production path, saving a per-frame dispatch); an explicit key overrides
+    it (determinism tests, hypothesis-sharded RANSAC drivers)."""
     cap = cfg.max_tracks
+    next_key = state.key
+    if key is None:
+        next_key, key = jax.random.split(state.key)
 
     # Accept uint8 frames: the host->device hop rides a tunnel on this
     # setup, so the runner ships 1 byte/px and normalization happens here.
@@ -173,6 +189,7 @@ def vo_step(
         prev_rel=rel,
         frame_idx=state.frame_idx + 1,
         next_id=next_id,
+        key=next_key,
     )
     out = FrameOutput(
         pose_c2w=pose,
@@ -213,5 +230,50 @@ def make_jitted_step(calib: StereoCalib, cfg: PipelineConfig, precision: str | N
     def step(state, left, right, key):
         with jax.default_matmul_precision(precision):
             return vo_step(state, left, right, key, calib, cfg)
+
+    return step
+
+
+def make_fused_loop_step(
+    calib: StereoCalib,
+    cfg: PipelineConfig,
+    precision: str | None = None,
+    with_landmarks: bool = False,
+):
+    """ONE device program per frame for the production loop.
+
+    Folds the PRNG split (state.key) and, with ``with_landmarks``, the
+    landmark-map insert into the step: over the tunneled TPU each extra
+    per-frame dispatch costs ~1.5-3.5 ms of op latency (measured 16.0 ->
+    12.5 ms/frame dropping just the split), which dominated the loop once
+    the compute itself ran at ~13 ms. The map argument is donated — updated
+    in place, never copied.
+
+    Returns ``step(state, lmap, left, right) -> (state, lmap, out)``; pass
+    ``lmap=None`` when ``with_landmarks=False``.
+    """
+    from . import landmarks as lm_mod
+
+    precision = cfg.matmul_precision if precision is None else precision
+
+    if with_landmarks:
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def step(state, lmap, left, right):
+            with jax.default_matmul_precision(precision):
+                state, out = vo_step(state, left, right, None, calib, cfg)
+                lmap = lm_mod.insert(
+                    lmap, out.new_lm_l_px, out.new_lm_r_px, out.new_lm_mask,
+                    out.pose_c2w, calib, cfg.landmarks,
+                )
+            return state, lmap, out
+
+    else:
+
+        @jax.jit
+        def step(state, lmap, left, right):
+            with jax.default_matmul_precision(precision):
+                state, out = vo_step(state, left, right, None, calib, cfg)
+            return state, lmap, out
 
     return step

@@ -28,7 +28,7 @@ import numpy as np
 from ..config import PipelineConfig
 from ..geom.camera import StereoCalib
 from . import landmarks as lm_mod
-from .pipeline import init_state, make_jitted_step
+from .pipeline import init_state, make_fused_loop_step
 
 KITTI_DT = 0.10374  # mean frame period of kitti/00/times.txt (~9.6 Hz)
 
@@ -132,12 +132,11 @@ def run_sequence(
     # Window BA needs f32-consistent multi-view observations from the step
     # (make_jitted_step docstring); plain VO honors cfg.matmul_precision.
     precision = "float32" if use_ba else cfg.matmul_precision
-    step = make_jitted_step(calib, cfg, precision=precision)
-    # Donate the map so the [capacity, 3] store is updated in place instead
-    # of copied every frame.
-    insert = jax.jit(
-        lambda m, lpx, rpx, msk, pose: lm_mod.insert(m, lpx, rpx, msk, pose, calib, cfg.landmarks),
-        donate_argnums=0,
+    # ONE device program per frame: PRNG split + landmark insert fused into
+    # the step (each extra per-frame dispatch costs ~1.5-3.5 ms of op
+    # latency over the tunneled TPU); the map is donated, updated in place.
+    step = make_fused_loop_step(
+        calib, cfg, precision=precision, with_landmarks=insert_landmarks
     )
 
     def to_device(img):
@@ -148,9 +147,8 @@ def run_sequence(
             # Quantize to the camera's native 8 bits: 4x less tunnel traffic.
             a = (np.clip(a, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
         return jnp.asarray(a)
-    state = init_state(cfg)
-    lmap = lm_mod.init_map(cfg.landmarks)
-    key = jax.random.PRNGKey(seed)
+    state = init_state(cfg, seed=seed)
+    lmap = lm_mod.init_map(cfg.landmarks) if insert_landmarks else None
 
     poses, rels, n_in, n_tr, oks = [], [], [], [], []
     start_frame = 0
@@ -158,7 +156,7 @@ def run_sequence(
         from . import checkpoint as ckpt_mod
 
         ck = ckpt_mod.load(checkpoint_path)
-        state, key, start_frame = ck.state, ck.key, ck.frame_idx
+        state, start_frame = ck.state, ck.frame_idx
         if ck.lmap is not None:
             lmap = ck.lmap
         poses = [p for p in ck.poses]
@@ -172,14 +170,12 @@ def run_sequence(
         l0, r0 = seq.frame(0)
         l0 = to_device(l0)
         r0 = to_device(r0)
-        s_w, o_w = step(state, l0, r0, key)
+        # The map argument is donated: warm up on a throwaway map so the
+        # real one is not consumed before the loop starts.
+        m_w = lm_mod.init_map(cfg.landmarks) if insert_landmarks else None
+        s_w, m_w, o_w = step(state, m_w, l0, r0)
         jax.block_until_ready(o_w.pose_c2w)
-        if insert_landmarks:
-            # insert donates its map argument: warm up on a throwaway map so
-            # the real one is not consumed before the loop starts.
-            m_w = insert(lm_mod.init_map(cfg.landmarks), o_w.new_lm_l_px, o_w.new_lm_r_px, o_w.new_lm_mask, o_w.pose_c2w)
-            jax.block_until_ready(m_w.xyz)
-            del m_w
+        del s_w, m_w
     compile_s = time.perf_counter() - t_compile0
 
     from ..utils.profiling import MetricsLog, pretty_frame
@@ -248,7 +244,6 @@ def run_sequence(
     for i in range(start_frame, n):
         t_frame = time.perf_counter()
         left, right = seq.frame(i)
-        key, sub = jax.random.split(key)
         if refiner is not None and i > 0 and i % ke == 0:
             # Bounded lag: block only if the worker is >2 keyframes behind.
             # Corrections stay in the worker's frame (refiner docstring), so
@@ -258,9 +253,7 @@ def run_sequence(
             t_wait = time.perf_counter()
             refiner.throttle(max_lag=2)
             wait_s += time.perf_counter() - t_wait
-        state, out = step(state, to_device(left), to_device(right), sub)
-        if insert_landmarks:
-            lmap = insert(lmap, out.new_lm_l_px, out.new_lm_r_px, out.new_lm_mask, out.pose_c2w)
+        state, lmap, out = step(state, lmap, to_device(left), to_device(right))
         if refiner is not None and i > 0 and i % ke == 0:
             # state.prev now holds THIS frame's stereo features + track ids.
             assoc = None
@@ -311,7 +304,7 @@ def run_sequence(
                     lmap if insert_landmarks else None,
                     np.asarray(poses) if poses else np.zeros((0, 4, 4), np.float32),
                     np.asarray(rels) if rels else np.zeros((0, 4, 4), np.float32),
-                    key,
+                    state.key,
                     i + 1,
                 )
         # --- reference live telemetry: every-Nth-frame figures + console
@@ -379,7 +372,7 @@ def run_sequence(
             rels_arr = rebuild_rel_poses(poses_arr)
         refine_stats["n_keyframes"] = int(kf_idx.size)
 
-    count = int(lmap.count)
+    count = int(lmap.count) if lmap is not None else 0
     lms = np.asarray(lmap.xyz[:count]) if insert_landmarks else np.zeros((0, 3), np.float32)
     return RunResult(
         poses=poses_arr,
