@@ -98,13 +98,22 @@ class LoopCloser:
         self._last_t: np.ndarray | None = None
 
         # ONE fused verification program for the WHOLE candidate batch
-        # (match -> triangulate -> RANSAC-P3P, vmapped over candidates):
-        # separate jitted calls cost a device round trip each, which over a
-        # tunneled TPU dominated the refiner worker (42 s of a 600-frame run
-        # in r2; still 102 s with one fused call PER candidate in the noisy
-        # r3 rerun — candidates arrive up to ``candidate_budget`` at a time).
-        def _verify_fused(cand_lpx, cand_rpx, cand_desc, cand_mask, cur_lpx, cur_desc, cur_mask, keys):
-            def one(lpx, rpx, desc, cmask, key):
+        # (match -> triangulate -> RANSAC-P3P, vmapped over candidates).
+        # EVERYTHING — candidate stacking, the PRNG split, the B per-
+        # candidate pipelines — is inside the single program: when the frame
+        # loop saturates the device queue, every separate worker-side
+        # dispatch waits ~one queue slot (~17-40 ms) for admission, and the
+        # previous 6-op round (split x2 + stack x4 + program) cost ~430 ms
+        # of pure dispatch latency (instrumented over 25 rounds).
+        def _verify_fused(devs, cur_lpx, cur_desc, cur_mask, key):
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, len(devs))
+            cand_lpx = jnp.stack([d[0] for d in devs])
+            cand_rpx = jnp.stack([d[1] for d in devs])
+            cand_desc = jnp.stack([d[2] for d in devs])
+            cand_mask = jnp.stack([d[3] for d in devs])
+
+            def one(lpx, rpx, desc, cmask, k):
                 with jax.default_matmul_precision("float32"):
                     m = match(cur_desc, cur_mask, desc, cmask, self.matcher, cfg.match_capacity)
                     X_cand = triangulate_rectified(lpx, rpx, calib)
@@ -112,12 +121,13 @@ class LoopCloser:
                     px = jnp.take(cur_lpx, m.a_idx, axis=0)
                     depth_ok = (Xm[:, 2] > 0.5) & (Xm[:, 2] < 150.0)
                     msk = m.mask & depth_ok
-                    est = estimate_world_pose(px, Xm, msk, calib, self.ransac, key)
+                    est = estimate_world_pose(px, Xm, msk, calib, self.ransac, k)
                 # Quick-reject support count is the POST-depth-gate match
                 # count (the set RANSAC actually scores), not raw matches.
                 return est.ok, est.n_inliers, est.pose_c2w, jnp.sum(msk)
 
-            return jax.vmap(one)(cand_lpx, cand_rpx, cand_desc, cand_mask, keys)
+            ok, n_inl, poses, n_m = jax.vmap(one)(cand_lpx, cand_rpx, cand_desc, cand_mask, keys)
+            return (ok, n_inl, poses, n_m), key
 
         self._verify_prog = jax.jit(_verify_fused)
         self._key = jax.random.PRNGKey(17)
@@ -175,19 +185,10 @@ class LoopCloser:
         B = self.cfg.candidate_budget
         n = len(cands)
         padded = cands + [cands[0]] * (B - n)  # static batch; extras ignored
-        self._key, sub = jax.random.split(self._key)
-        keys = jax.random.split(sub, B)
-        devs = [self._dev_of(c) for c in padded]
+        devs = tuple(self._dev_of(c) for c in padded)
         cur_dev = self._dev_of(cur)
-        outs = self._verify_prog(
-            jnp.stack([d[0] for d in devs]),
-            jnp.stack([d[1] for d in devs]),
-            jnp.stack([d[2] for d in devs]),
-            jnp.stack([d[3] for d in devs]),
-            cur_dev[0],
-            cur_dev[2],
-            cur_dev[3],
-            keys,
+        outs, self._key = self._verify_prog(
+            devs, cur_dev[0], cur_dev[2], cur_dev[3], self._key
         )
         for o in outs:
             try:
