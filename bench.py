@@ -110,6 +110,23 @@ def preload_cached(
     return pre
 
 
+
+def stage_frames_hbm(pre):
+    """Pre-stage a preloaded feed's uint8 frames in device HBM.
+
+    The axon tunnel's host->device bandwidth fluctuates 13-40 MB/s between
+    sessions, which at 0.93 MB/frame swings measured fps up to 3x
+    run-to-run; a real TPU host feeds over PCIe (GB/s). Staging outside the
+    timed loop removes the tunnel artifact so numbers track the pipeline.
+    Used by bench.py, tools/bigrun.py, tools/longrun.py."""
+    import jax
+    import jax.numpy as jnp
+
+    pre.frames = [(jnp.asarray(l), jnp.asarray(r)) for l, r in pre.frames]
+    jax.block_until_ready(pre.frames[-1][0])
+    return pre
+
+
 def _device_peak_flops(dev) -> float:
     kind = getattr(dev, "device_kind", "")
     for k, v in _PEAK_FLOPS.items():
@@ -233,22 +250,9 @@ def main(argv=None):
     pre = _Preloaded(seq, n_frames)
     cfg = PipelineConfig()
 
-    def stage_hbm(p):
-        """Pre-stage the uint8 feed in device HBM (outside every timed loop).
-
-        The axon tunnel's host->device bandwidth fluctuates 13-40 MB/s
-        between sessions, which at 0.93 MB/frame swings measured fps up to
-        3x run-to-run; a real TPU host feeds over PCIe (GB/s). Staging
-        removes the tunnel artifact so the number tracks the pipeline."""
-        import jax.numpy as jnp
-
-        p.frames = [(jnp.asarray(l), jnp.asarray(r)) for l, r in p.frames]
-        jax.block_until_ready(p.frames[-1][0])
-        return p
-
     import jax
 
-    pre = stage_hbm(pre)
+    pre = stage_frames_hbm(pre)
     # Warm run: compiles everything AND spins up the device/transfer path —
     # the first executed sequence after compile runs ~2x slower than steady
     # state on a tunneled TPU. The reported number is the steady-state
@@ -269,7 +273,7 @@ def main(argv=None):
     if args.sustained_frames:
         calib = kitti.load_stereo_calib(kitti_dir)
         gt = kitti.read_poses("/root/reference/kitti/poses/00.txt")[: args.sustained_frames]
-        pre_s = stage_hbm(preload_cached(calib, gt, args.sustained_frames, 9000, seed=0))
+        pre_s = stage_frames_hbm(preload_cached(calib, gt, args.sustained_frames, 9000, seed=0))
         res_s = runner.run_sequence(pre_s, cfg, n_frames=args.sustained_frames)
         sustained = round(res_s.frames_per_sec, 3)
 

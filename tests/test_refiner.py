@@ -192,11 +192,13 @@ class TestPropagateClosure:
         rng = np.random.default_rng(6)
         chain = _random_traj(rng, 5).astype(np.float32)
         kf_order = list(range(5))
-        # kf 1 carries a small window-BA offset on top of the chain pose.
+        # kf 1 (decimated) AND kf 4 (survivor) carry small window-BA offsets
+        # on top of the chain pose — both must ride through the closure.
         ba_off = np.eye(4, dtype=np.float32)
         ba_off[1, 3] = 0.05
         kf_corrected = {i: chain[i].copy() for i in kf_order}
         kf_corrected[1] = (ba_off @ chain[1].astype(np.float64)).astype(np.float32)
+        kf_corrected[4] = (ba_off @ chain[4].astype(np.float64)).astype(np.float32)
         kf_chain = {i: chain[i].copy() for i in kf_order}
         d0 = np.eye(4)
         d0[0, 3] = 1.0
@@ -220,6 +222,16 @@ class TestPropagateClosure:
         # kf 3 is nearest survivor 4: gets d4.
         np.testing.assert_allclose(
             kf_corrected[3], (d4 @ chain[3].astype(np.float64)).astype(np.float32), atol=1e-4
+        )
+        # Survivor 4's BA offset rides through the closure too (adjacent
+        # anchors stay consistent at the BA-offset scale).
+        np.testing.assert_allclose(
+            kf_corrected[4],
+            (d4 @ ba_off @ chain[4].astype(np.float64)).astype(np.float32),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            kf_chain[4], (d4 @ chain[4].astype(np.float64)).astype(np.float32), atol=1e-4
         )
 
 

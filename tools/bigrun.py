@@ -75,22 +75,15 @@ def main() -> None:
     pre = load_or_render(calib, gt, n, n_lm, noise=args.noise)
     pre.times = times
     if not args.host_frames and not args.cpu:
-        # Stage the whole feed in device HBM once (4,500 uint8 stereo pairs
-        # ~= 4.2 GB of the 16 GB on a v5e): the axon tunnel's host->device
-        # bandwidth fluctuates between ~13 and ~40 MB/s across sessions,
-        # which at 0.93 MB/frame swings measured fps 2-3x run to run. A
-        # real TPU host feeds over PCIe (GB/s) — pre-staging removes the
-        # tunnel artifact from the artifact numbers; the one-time upload
-        # happens outside every timed loop.
+        # One-time HBM staging outside every timed loop (bench.stage_frames_hbm
+        # docstring: removes the tunnel-bandwidth artifact; ~4.2 GB of 16 GB
+        # HBM at 4,500 stereo pairs).
         import time as _time
 
-        import jax.numpy as jnp
+        from bench import stage_frames_hbm
 
         t0 = _time.perf_counter()
-        pre.frames = [(jnp.asarray(l), jnp.asarray(r)) for l, r in pre.frames]
-        import jax as _jax
-
-        _jax.block_until_ready(pre.frames[-1][0])
+        stage_frames_hbm(pre)
         print(f"# staged {n} frame pairs in HBM in {_time.perf_counter() - t0:.1f}s", flush=True)
 
     cfg = PipelineConfig()

@@ -71,6 +71,18 @@ def main() -> None:
     cache = f"/tmp/longrun_frames_v4_{args.frames}_{args.landmarks}_{args.seed}{nz}.npz"
 
     if args.merge:
+        if os.path.exists(cache):
+            # The cache name does not encode --traj; refuse to clobber a
+            # cache rendered from DIFFERENT poses (e.g. a full-trajectory
+            # render vs an out-and-back with identical frame/landmark
+            # counts) — preload_cached would reject it anyway, after the
+            # hour-long render was already destroyed.
+            z = np.load(cache)
+            if "poses" in z and (z["poses"].shape != poses.shape or not np.allclose(z["poses"], poses)):
+                raise SystemExit(
+                    f"refusing to overwrite {cache}: existing cache was rendered "
+                    "from different poses (--traj mismatch?); delete it explicitly"
+                )
         H, W = seq.H, seq.W
         L = np.zeros((args.frames, H, W), np.uint8)
         R = np.zeros((args.frames, H, W), np.uint8)

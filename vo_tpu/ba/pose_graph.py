@@ -298,7 +298,7 @@ def optimize_np(T_c2w, edge_i, edge_j, edge_T, edge_weight, iters: int = 10, dam
             if cost0 > 0 and cost < 1e-10 * max(cost0, 1.0):
                 break
         else:
-            lam = max(lam * 10.0, 1e-9) * 10.0
+            lam = max(lam * 10.0, 1e-9)
     return T, cost0, cost
 
 

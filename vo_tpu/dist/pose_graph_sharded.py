@@ -95,7 +95,10 @@ def _optimize_sharded_impl(g, mesh, iters, damping, axis) -> pg.PoseGraphResult:
 
         cost0 = cost_of(T_c2w)
         (T, _), _ = jax.lax.scan(
-            gn_step, (T_c2w, jnp.asarray(max(damping, 1e-4), T_c2w.dtype)), None, length=iters
+            # Start lambda AT the caller's damping — same rationale as
+            # ba.pose_graph._optimize_impl (the 1e-4 floor suppressed the
+            # O(1/n^2) chain-bend modes a loop correction must ride).
+            gn_step, (T_c2w, jnp.asarray(damping, T_c2w.dtype)), None, length=iters
         )
         return T, cost0, cost_of(T)
 

@@ -85,8 +85,13 @@ def propagate_closure(
     anchor moves coherently; leaving them stale made reanchor_trajectory
     alternate between pre- and post-closure anchors, zigzagging segments by
     the full closure correction (ADVICE r3 high). Deltas are computed
-    against the CHAIN ledger (loop-corrected, BA-free) and applied to both
-    ledgers in place. Returns (sorted survivor indices, delta dict)."""
+    against the CHAIN ledger (loop-corrected, BA-free) and applied ON TOP
+    of the corrected ledger for EVERY keyframe — survivors included — so a
+    keyframe's window-BA offset rides through the closure instead of being
+    wiped for survivors but kept for their decimated neighbors (which would
+    leave adjacent anchors inconsistent by the BA-offset scale). The chain
+    ledger itself adopts the survivor poses / deltas exactly. Returns
+    (sorted survivor indices, delta dict)."""
     deltas = {
         fi: surv[fi].astype(np.float64) @ np.linalg.inv(kf_chain[fi].astype(np.float64))
         for fi in surv
@@ -95,7 +100,8 @@ def propagate_closure(
     surv_sorted = np.array(sorted(deltas.keys()), np.int64)
     for fi in kf_order:
         if fi in surv:
-            kf_corrected[fi] = surv[fi].astype(np.float32)
+            d = deltas[fi]
+            kf_corrected[fi] = (d @ kf_corrected[fi].astype(np.float64)).astype(np.float32)
             kf_chain[fi] = surv[fi].astype(np.float32)
         elif surv_sorted.size:
             d = deltas[int(surv_sorted[np.argmin(np.abs(surv_sorted - fi))])]
@@ -147,6 +153,13 @@ class RefinerWorker:
                 return jnp.where(n > 1e-12, s / n, s)
 
             self._gdesc_fn = _gdesc
+            # Compile now: the first submit otherwise pays the XLA compile
+            # on the main thread inside the timed frame loop (the same
+            # reason wba.warmup() and the runner's kf_assoc warmup exist).
+            C = cfg.max_tracks
+            jax.block_until_ready(
+                _gdesc(jnp.zeros((C, 128), jnp.float32), jnp.zeros(C, bool))
+            )
         else:
             self._gdesc_fn = None
         # frame_idx -> latest corrected [4,4] pose (worker-owned, lock-guarded)

@@ -330,6 +330,10 @@ class LoopCloser:
             self._tick("solve", t0)
             if corrected is not None:
                 self._cooldown_left = self.cfg.cooldown
+                # Path bookkeeping tracks the CORRECTED chain: refresh the
+                # last-position sample or the next keyframe's path increment
+                # includes the full closure correction as phantom distance.
+                self._last_t = self.keyframes[-1].pose_c2w[:3, 3].copy()
                 return dict(corrected=corrected, loop=(k, cur_k))
         return None
 
