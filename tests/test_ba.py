@@ -148,6 +148,53 @@ def test_pose_graph_np_closes_long_chain(gt_poses):
     assert err1[-1] < 0.05 and err1[0] < 0.05, (err1[0], err1[-1])
 
 
+def test_np_log_se3_near_pi_roundtrip():
+    """Rotations near pi must survive log->exp: an out-and-back revisit
+    yields a ~pi loop edge, and the naive theta/(2 sin) axis extraction is
+    ill-conditioned there (ADVICE r4) — the symmetric-part fallback must
+    recover the axis to sub-milliradian accuracy."""
+    rng = np.random.default_rng(3)
+    for theta in (np.pi - 1e-3, np.pi - 1e-5, np.pi - 1e-7, np.pi):
+        for _ in range(4):
+            ax = rng.normal(size=3)
+            ax /= np.linalg.norm(ax)
+            xi = np.concatenate([rng.normal(size=3), theta * ax])
+            T = pose_graph._np_exp_se3(xi)
+            T2 = pose_graph._np_exp_se3(pose_graph._np_log_se3(T))
+            # Compare the transforms, not the twists: at exactly pi the log
+            # is double-valued (+/- the axis) but the transform is unique.
+            assert np.abs(T2 - T).max() < 1e-9, (theta, np.abs(T2 - T).max())
+
+
+def test_pose_graph_np_opposite_direction_revisit(gt_poses):
+    """A loop edge with ~pi relative yaw (out-and-back, facing the other
+    way) must still close the graph instead of being silently lost to the
+    ill-conditioned rotation log (ADVICE r4)."""
+    n = 40
+    flip = np.eye(4)
+    flip[:3, :3] = pose_graph._np_exp_so3(np.array([0.0, np.pi - 1e-6, 0.0]))
+    T_true = np.stack([gt_poses[15 * i] for i in range(n - 1)] + [gt_poses[0] @ flip])
+    Td = T_true.copy()
+    for i in range(n):
+        d = np.eye(4)
+        d[0, 3] = 2.0 * i / n
+        Td[i] = d @ T_true[i]
+    ei = list(range(n - 1))
+    ej = list(range(1, n))
+    eT = [np.linalg.inv(Td[k]) @ Td[k + 1] for k in range(n - 1)]
+    ew = [1.0] * (n - 1)
+    ei.append(0)
+    ej.append(n - 1)
+    eT.append(np.linalg.inv(T_true[0]) @ T_true[-1])  # ~pi rotation edge
+    ew.append(30.0)
+    T, c0, c = pose_graph.optimize_np(
+        Td, np.array(ei), np.array(ej), np.stack(eT), np.array(ew), iters=12
+    )
+    assert np.isfinite(c) and c < 1e-3 * c0, (c0, c)
+    err1 = np.linalg.norm(T[-1, :3, 3] - T_true[-1, :3, 3])
+    assert err1 < 0.05, err1
+
+
 @pytest.mark.slow
 def test_sharded_ba_matches_single(rng, kitti_calib, gt_poses):
     from vo_tpu.config import MeshConfig

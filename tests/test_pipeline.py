@@ -53,6 +53,28 @@ def test_pipeline_landmarks(result_and_seq):
     assert not np.any(np.all(res.landmarks == 0, axis=1))
 
 
+def test_pair_step_matches_single_step():
+    """The two-frame fused step (pipeline.vo_step_pair) must reproduce the
+    single-frame path: same ops and PRNG sequence, differing only by XLA's
+    4-wide vs 2-wide detection batching (reduction reordering at float
+    tolerance). A per-frame ``progress`` consumer forces the single-step
+    path for the reference run."""
+    seq = synthetic.kitti_synthetic_sequence(
+        n_frames=7, n_landmarks=1500, seed=2, image_size=(188, 620)
+    )
+    cfg = PipelineConfig(
+        sift=SIFTConfig(max_keypoints=384, n_octaves=3),
+        ransac=RansacConfig(n_hypotheses=128),
+        max_tracks=256,
+    )
+    res_pair = runner.run_sequence(seq, cfg, warmup=False)  # deferred fast path
+    res_single = runner.run_sequence(seq, cfg, warmup=False, progress=lambda i, s: None)
+    assert res_pair.poses.shape == res_single.poses.shape
+    assert np.abs(res_pair.poses - res_single.poses).max() < 1e-3
+    assert np.array_equal(res_pair.pose_ok, res_single.pose_ok)
+    assert np.abs(res_pair.n_tracks - res_single.n_tracks).max() <= 2
+
+
 def test_pipeline_fallback_on_blank_frames():
     """Blank frames kill tracking; the step must fall back, not crash (SURVEY §5)."""
     seq = synthetic.kitti_synthetic_sequence(n_frames=4, n_landmarks=800, seed=5)

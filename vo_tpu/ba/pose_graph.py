@@ -203,6 +203,27 @@ def _np_log_se3(T):
     theta = np.arctan2(sin_t, cos_t)
     scale = np.where(theta < 1e-4, 0.5 + theta * theta / 12.0, theta / np.maximum(2.0 * sin_t, 1e-300))
     w = vvec * scale[..., None]
+    # Near theta = pi the antisymmetric part vanishes (vvec -> 0) and
+    # theta/(2 sin) is ill-conditioned: an out-and-back revisit produces a
+    # ~pi loop edge whose residuals/Jacobians would be garbage and the
+    # closure silently lost (ADVICE r4). Recover the axis from the
+    # SYMMETRIC part instead: (R + R^T)/2 = cos(t) I + (1-cos t) nn^T, so
+    # the largest column of nn^T gives the axis up to sign; the (tiny but
+    # sign-correct) antisymmetric vector disambiguates the sign. At exactly
+    # pi both signs are valid logarithms.
+    near_pi = theta > 3.0
+    if np.any(near_pi):
+        eye3 = np.broadcast_to(np.eye(3), R.shape)
+        B = 0.5 * (R + np.swapaxes(R, -1, -2))
+        nnT = (B - cos_t[..., None, None] * eye3) / np.maximum(
+            (1.0 - cos_t)[..., None, None], 1e-12
+        )
+        diag = np.maximum(np.einsum("...ii->...i", nnT), 0.0)
+        k = np.argmax(diag, axis=-1)
+        ax = np.take_along_axis(nnT, k[..., None, None], axis=-1)[..., 0]
+        ax = ax / np.maximum(np.linalg.norm(ax, axis=-1, keepdims=True), 1e-12)
+        sign = np.where(np.einsum("...i,...i->...", ax, vvec) < 0.0, -1.0, 1.0)
+        w = np.where(near_pi[..., None], theta[..., None] * ax * sign[..., None], w)
     theta2 = (w * w).sum(-1)
     W = np.zeros(w.shape[:-1] + (3, 3))
     W[..., 0, 1], W[..., 0, 2] = -w[..., 2], w[..., 1]

@@ -97,7 +97,16 @@ class BAConfig:
     """Sliding-window bundle adjustment (north-star extension; no reference counterpart)."""
 
     window: int = 10  # keyframes in the window
-    max_points: int = 4096  # landmark capacity in the window
+    # Landmark capacity of the dense [window, max_points] observation grid.
+    # MEASURED right-size (VERDICT r5 item 3): on the noisy 600-frame feed
+    # the assembled windows hold p50=77 / max=122 active landmarks with at
+    # most 220 multi-view candidates before the capacity cap (telemetry:
+    # ba_active_p50/ba_candidate_max in refiner stats) — the r4 default of
+    # 4096 made every solve ~151 ms of mostly padding-zero FLOPs and left
+    # the flagship vo_ba_lc config 96% blocked on the BA worker
+    # (main_wait_s 161 of 168 s, BIGRUN_r04). 512 keeps >2x headroom over
+    # the densest window observed while cutting the solve ~7x.
+    max_points: int = 512
     iters: int = 8
     damping: float = 1e-3
     huber_px: float = 1.0

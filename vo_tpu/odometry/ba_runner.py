@@ -166,6 +166,12 @@ class WindowedBA:
         self._solve = jax.jit(lambda p: solve_window(p, calib, cfg))
         self.last_result = None
         self.n_rejected = 0  # solves discarded by the correction sanity gate
+        # Active-landmark telemetry: how much of the [K, max_points] grid a
+        # real window actually uses. r4 ran max_points=4096 while the cascade
+        # carries ~70-150 tracks/frame — most solve FLOPs multiplied padding
+        # zeros and the flagship config was solver-bound (VERDICT r5 item 3).
+        self.n_active: list[int] = []
+        self.n_candidate: list[int] = []  # multi-view tracks before capacity cap
 
     def warmup(self) -> None:
         """Compile the solver on the production (K, M) shapes with an empty
@@ -200,6 +206,7 @@ class WindowedBA:
                 if tid >= 0:
                     counts[int(tid)] = counts.get(int(tid), 0) + 1
         multi = [t for t, c in counts.items() if c >= 2]
+        self.n_candidate.append(len(multi))
         if len(multi) < 12:
             return None
         multi.sort(key=lambda t: -counts[t])
@@ -272,6 +279,7 @@ class WindowedBA:
             gate = max(self.cfg.track_gate_mult * med, self.cfg.track_gate_floor_px)
             obs_mask[:, active & (track_max > gate)] = False
         X_mask = X_seen & (obs_mask.sum(axis=0) >= 2)
+        self.n_active.append(int(X_mask.sum()))
         if X_mask.sum() < 12:
             return None
         return BAProblem(

@@ -99,39 +99,27 @@ def _membership(query_idx, query_mask, ref_idx, ref_mask):
     return jnp.any(eq, axis=1)
 
 
-def vo_step(
+def _normalize(img: jnp.ndarray) -> jnp.ndarray:
+    """uint8 -> [0,1] float32 (the runner ships 1 byte/px over the tunnel)."""
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) * (1.0 / 255.0)
+    return img
+
+
+def _step_core(
     state: VOState,
-    left: jnp.ndarray,
-    right: jnp.ndarray,
-    key: jax.Array | None,
+    feats_l: Features,
+    feats_r: Features,
+    key: jax.Array,
+    next_key: jax.Array,
     calib: StereoCalib,
     cfg: PipelineConfig,
 ) -> tuple[VOState, FrameOutput]:
-    """One frame. Jit with static (calib-as-weak-static via closure, cfg static).
-
-    ``key=None`` draws from ``state.key`` (split inside the program — the
-    production path, saving a per-frame dispatch); an explicit key overrides
-    it (determinism tests, hypothesis-sharded RANSAC drivers)."""
+    """Everything after detection: the serial (pose-dependent) part of the
+    frame. Split out of vo_step so the two-frame pipelined step can batch
+    DETECTION over both frames (pose-independent) while chaining this part
+    sequentially (VERDICT r5 item 6)."""
     cap = cfg.max_tracks
-    next_key = state.key
-    if key is None:
-        next_key, key = jax.random.split(state.key)
-
-    # Accept uint8 frames: the host->device hop rides a tunnel on this
-    # setup, so the runner ships 1 byte/px and normalization happens here.
-    if left.dtype == jnp.uint8:
-        left = left.astype(jnp.float32) * (1.0 / 255.0)
-    if right.dtype == jnp.uint8:
-        right = right.astype(jnp.float32) * (1.0 / 255.0)
-
-    # --- front-end (VO.m:79-87) ---
-    # One vmapped program over the stereo pair: convs/top_k/gathers batch
-    # across the two images instead of running as two serial programs.
-    feats_lr = jax.vmap(lambda im: detect_and_describe(im, cfg.sift))(
-        jnp.stack([left, right])
-    )
-    feats_l = jax.tree.map(lambda x: x[0], feats_lr)
-    feats_r = jax.tree.map(lambda x: x[1], feats_lr)
     stereo, m_st = stereo_features_with_matches(feats_l, feats_r, cfg.matcher, cap)
 
     # --- temporal 4-view cascade (VO.m:106-107 / 280-334) ---
@@ -209,6 +197,68 @@ def vo_step(
     return new_state, out
 
 
+def vo_step(
+    state: VOState,
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    key: jax.Array | None,
+    calib: StereoCalib,
+    cfg: PipelineConfig,
+) -> tuple[VOState, FrameOutput]:
+    """One frame. Jit with static (calib-as-weak-static via closure, cfg static).
+
+    ``key=None`` draws from ``state.key`` (split inside the program — the
+    production path, saving a per-frame dispatch); an explicit key overrides
+    it (determinism tests, hypothesis-sharded RANSAC drivers)."""
+    next_key = state.key
+    if key is None:
+        next_key, key = jax.random.split(state.key)
+
+    # --- front-end (VO.m:79-87) ---
+    # One vmapped program over the stereo pair: convs/top_k/gathers batch
+    # across the two images instead of running as two serial programs.
+    feats_lr = jax.vmap(lambda im: detect_and_describe(im, cfg.sift))(
+        jnp.stack([_normalize(left), _normalize(right)])
+    )
+    feats_l = jax.tree.map(lambda x: x[0], feats_lr)
+    feats_r = jax.tree.map(lambda x: x[1], feats_lr)
+    return _step_core(state, feats_l, feats_r, key, next_key, calib, cfg)
+
+
+def vo_step_pair(
+    state: VOState,
+    left0: jnp.ndarray,
+    right0: jnp.ndarray,
+    left1: jnp.ndarray,
+    right1: jnp.ndarray,
+    calib: StereoCalib,
+    cfg: PipelineConfig,
+) -> tuple[VOState, FrameOutput, FrameOutput]:
+    """TWO frames in one program, detection batched across both.
+
+    The frame->frame serial dependency binds only tracking/RANSAC/chaining
+    (~3 ms of the 15.5 ms step); detection is pose-independent, and its
+    cost is op-count-dominated (dozens of pyramid/top-k/gather dispatches at
+    ~1 % MFU, STAGES_r04), so detecting four images in one vmap costs barely
+    more than two. Per frame this also halves the per-program dispatch
+    latency. The math is IDENTICAL to two sequential vo_step calls — same
+    per-image detection (vmap semantics), same PRNG split sequence — so the
+    trajectory is bit-identical to the single-frame path.
+    """
+    feats4 = jax.vmap(lambda im: detect_and_describe(im, cfg.sift))(
+        jnp.stack([_normalize(left0), _normalize(right0), _normalize(left1), _normalize(right1)])
+    )
+
+    def pick(i):
+        return jax.tree.map(lambda x: x[i], feats4)
+
+    k1, s1 = jax.random.split(state.key)
+    state, out0 = _step_core(state, pick(0), pick(1), s1, k1, calib, cfg)
+    k2, s2 = jax.random.split(state.key)
+    state, out1 = _step_core(state, pick(2), pick(3), s2, k2, calib, cfg)
+    return state, out0, out1
+
+
 def make_jitted_step(calib: StereoCalib, cfg: PipelineConfig, precision: str | None = None):
     """Compile the per-frame step once; returns step(state, left, right, key).
 
@@ -277,3 +327,48 @@ def make_fused_loop_step(
             return state, lmap, out
 
     return step
+
+
+def make_fused_pair_step(
+    calib: StereoCalib,
+    cfg: PipelineConfig,
+    precision: str | None = None,
+    with_landmarks: bool = False,
+):
+    """TWO frames per device program (vo_step_pair + both landmark inserts).
+
+    The production fast path when no per-frame host consumer exists
+    (odometry.runner): detection — 12.6 ms of the 15.5 ms frame at ~1 % MFU
+    (STAGES_r04) — batches across both frames, and per-frame dispatch
+    latency halves. Numerically equivalent to the single-frame step (same
+    ops; XLA's 4-wide batching may reorder reductions -> ~1e-6-level
+    subpixel jitter, absorbed by per-frame RANSAC).
+
+    Returns ``step2(state, lmap, l0, r0, l1, r1) -> (state, lmap, out0, out1)``.
+    """
+    from . import landmarks as lm_mod
+
+    precision = cfg.matmul_precision if precision is None else precision
+
+    if with_landmarks:
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def step2(state, lmap, l0, r0, l1, r1):
+            with jax.default_matmul_precision(precision):
+                state, out0, out1 = vo_step_pair(state, l0, r0, l1, r1, calib, cfg)
+                for out in (out0, out1):
+                    lmap = lm_mod.insert(
+                        lmap, out.new_lm_l_px, out.new_lm_r_px, out.new_lm_mask,
+                        out.pose_c2w, calib, cfg.landmarks,
+                    )
+            return state, lmap, out0, out1
+
+    else:
+
+        @jax.jit
+        def step2(state, lmap, l0, r0, l1, r1):
+            with jax.default_matmul_precision(precision):
+                state, out0, out1 = vo_step_pair(state, l0, r0, l1, r1, calib, cfg)
+            return state, lmap, out0, out1
+
+    return step2

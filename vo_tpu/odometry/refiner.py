@@ -180,6 +180,7 @@ class RefinerWorker:
         self._error: Optional[BaseException] = None
         self._loops_closed = 0
         self._ba_solves = 0
+        self._ba_skipped = 0  # window solves skipped under queue backlog
         self._phase_s: defaultdict = defaultdict(float)  # worker-phase seconds
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -221,7 +222,9 @@ class RefinerWorker:
         self._q.put(job)
 
     def wait_pending(self) -> None:
-        """Block until every submitted job has been processed (lock-step)."""
+        """Block until the worker has consumed every submitted job. NB: the
+        newest job may still be STAGED (processed on the next submit or at
+        close() — see _run); only close() guarantees full processing."""
         self._q.join()
         if self._error is not None:
             err, self._error = self._error, None
@@ -263,11 +266,18 @@ class RefinerWorker:
         s = dict(loops_closed=self._loops_closed, ba_solves=self._ba_solves)
         if self.wba is not None:
             s["ba_rejected"] = self.wba.n_rejected
+            s["ba_skipped_backlog"] = self._ba_skipped
+            if self.wba.n_active:  # solver-capacity telemetry (VERDICT r5 item 3)
+                act = sorted(self.wba.n_active)
+                cand = sorted(self.wba.n_candidate)
+                s["ba_active_p50"] = act[len(act) // 2]
+                s["ba_active_max"] = act[-1]
+                s["ba_candidate_max"] = cand[-1]
         if self.lclo is not None:
             s["loops_skipped_small"] = self.lclo.skipped_small
             s["decimations"] = self.lclo.decimations
-            ev = self.lclo.disc_events
-            s["lc_verified"] = len(ev)
+            ev = self.lclo.disc_events  # bounded ring of the latest events
+            s["lc_verified"] = self.lclo.n_verified
             if ev:  # gate-decision telemetry: what discrepancies were seen
                 discs = sorted(e[1] for e in ev)
                 s["lc_disc_max_m"] = discs[-1]
@@ -302,20 +312,35 @@ class RefinerWorker:
             propagate_closure(self._kf_order, self._kf_corrected, self._kf_chain, surv)
 
     def _run(self) -> None:
+        # Jobs are processed ONE KEYFRAME LATE: job k's host reads (pose /
+        # gdesc / feature payloads) block until the device's dispatch-ahead
+        # queue reaches the ops that produced them, and at submit time those
+        # ops sit at the head of a multi-frame backlog — reading immediately
+        # measured ~50 ms of pure queue wait per keyframe (worker_copy_s
+        # 43.7 s + lc_collect_s 21.4 s over 899 keyframes, BIGRUN_r04 vo_lc;
+        # VERDICT r5 item 4). By the time job k+1 arrives the device has
+        # advanced a full keyframe period and the async copies started at
+        # submit have landed, so the reads complete without blocking.
+        # Deterministic: processing order is unchanged, only shifted.
+        staged: Optional[_KeyframeJob] = None
         while True:
             job = self._q.get()
             if job is None:
                 try:
+                    if staged is not None:
+                        self._process(staged)
                     self._finalize()
                 except BaseException as e:  # surfaced on the main thread
                     self._error = e
                 self._q.task_done()
                 return
             try:
-                self._process(job)
+                if staged is not None:
+                    self._process(staged)
             except BaseException as e:  # surfaced on the main thread
                 self._error = e
             finally:
+                staged = job
                 self._q.task_done()
 
     def _process(self, job: _KeyframeJob) -> None:
@@ -419,6 +444,16 @@ class RefinerWorker:
                     mask=mask,
                 )
             )
+            # Skip-on-backlog: if newer keyframes are already queued, solving
+            # THIS window would only delay them — and corrections are
+            # non-compounding by design (WindowedBA.optimize docstring:
+            # every solve is an independent local refinement off the chain
+            # pose), so a dropped solve costs nothing downstream. The
+            # keyframe itself is still added to the window above, so the
+            # next solve covers its observations.
+            if self._q.qsize() > 1:
+                self._ba_skipped += 1
+                return
             t0 = time.perf_counter()
             ba_res = self.wba.optimize()
             self._phase_s["ba_solve"] += time.perf_counter() - t0

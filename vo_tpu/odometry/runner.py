@@ -28,7 +28,7 @@ import numpy as np
 from ..config import PipelineConfig
 from ..geom.camera import StereoCalib
 from . import landmarks as lm_mod
-from .pipeline import init_state, make_fused_loop_step
+from .pipeline import init_state, make_fused_loop_step, make_fused_pair_step
 
 KITTI_DT = 0.10374  # mean frame period of kitti/00/times.txt (~9.6 Hz)
 
@@ -132,11 +132,32 @@ def run_sequence(
     # Window BA needs f32-consistent multi-view observations from the step
     # (make_jitted_step docstring); plain VO honors cfg.matmul_precision.
     precision = "float32" if use_ba else cfg.matmul_precision
+    # Fast path: no per-frame host consumer -> keep history on device and
+    # let dispatch run ahead of the chip (async). Refinement stays on the
+    # fast path (the worker owns all host copies); progress / metrics /
+    # checkpoints need per-frame host values.
+    deferred = not (
+        progress is not None
+        or metrics_path is not None
+        or (checkpoint_every and checkpoint_path)
+    )
+    # TWO frames per device program on the deferred no-refiner path:
+    # detection (pose-independent, op-latency-dominated) batches across both
+    # frames and dispatch overhead halves — numerically equivalent
+    # trajectories (pipeline.vo_step_pair; VERDICT r5 item 6). The refined path keeps the
+    # single-frame step: keyframe submission needs state.prev at exact
+    # keyframe boundaries.
+    use_pair = deferred and not (use_ba or use_loop_closure)
     # ONE device program per frame: PRNG split + landmark insert fused into
     # the step (each extra per-frame dispatch costs ~1.5-3.5 ms of op
     # latency over the tunneled TPU); the map is donated, updated in place.
     step = make_fused_loop_step(
         calib, cfg, precision=precision, with_landmarks=insert_landmarks
+    )
+    step2 = (
+        make_fused_pair_step(calib, cfg, precision=precision, with_landmarks=insert_landmarks)
+        if use_pair
+        else None
     )
 
     def to_device(img):
@@ -172,10 +193,17 @@ def run_sequence(
         r0 = to_device(r0)
         # The map argument is donated: warm up on a throwaway map so the
         # real one is not consumed before the loop starts.
-        m_w = lm_mod.init_map(cfg.landmarks) if insert_landmarks else None
-        s_w, m_w, o_w = step(state, m_w, l0, r0)
-        jax.block_until_ready(o_w.pose_c2w)
-        del s_w, m_w
+        if use_pair:
+            m_w = lm_mod.init_map(cfg.landmarks) if insert_landmarks else None
+            s_w, m_w, o_w, o_w1 = step2(state, m_w, l0, r0, l0, r0)
+            jax.block_until_ready(o_w1.pose_c2w)
+            del s_w, m_w
+        if not use_pair or (n - start_frame) % 2 == 1:
+            # The single-frame step runs the odd tail frame in pair mode.
+            m_w = lm_mod.init_map(cfg.landmarks) if insert_landmarks else None
+            s_w, m_w, o_w = step(state, m_w, l0, r0)
+            jax.block_until_ready(o_w.pose_c2w)
+            del s_w, m_w
     compile_s = time.perf_counter() - t_compile0
 
     from ..utils.profiling import MetricsLog, pretty_frame
@@ -228,20 +256,63 @@ def run_sequence(
     gt_poses = getattr(seq, "gt_poses", None)
     if viz_every and viz_dir:
         os.makedirs(viz_dir, exist_ok=True)
-    # Fast path: no per-frame host consumer -> keep history on device and
-    # let dispatch run ahead of the chip (async). Refinement stays on the
-    # fast path (the worker owns all host copies); progress / metrics /
-    # checkpoints need per-frame host values.
-    deferred = not (
-        progress is not None
-        or mlog is not None
-        or (checkpoint_every and checkpoint_path)
-    )
     hist = _DeviceHistory() if deferred else None
     ke = cfg.ba.keyframe_every
+
+    def live_viz(i, out, left):
+        # --- reference live telemetry: every-Nth-frame figures + console
+        # block (VO.m:168-204, 261-277). A deliberate host sync, amortized
+        # over viz_every frames exactly like the reference's mod(i,100).
+        pose_h = np.asarray(out.pose_c2w)
+        rel_h = np.asarray(out.rel_pose)
+        print(pretty_frame(i, rel_h, pose_h, _dt_at(seq, i)))
+        if viz_dir:
+            from ..viz import figures
+
+            fields_so_far = hist.result() if hist is not None else []
+            poses_so_far = fields_so_far[0] if fields_so_far else np.asarray(poses)
+            if len(poses_so_far) == 0:
+                poses_so_far = pose_h[None]
+            lms = None
+            if insert_landmarks:
+                cnt = int(lmap.count)
+                lms = np.asarray(lmap.xyz[:cnt]) if cnt else np.zeros((0, 3), np.float32)
+            figures.frame_report(
+                viz_dir,
+                i,
+                np.asarray(left),
+                dict(
+                    tracked_cur_px=np.asarray(out.tracked_cur_px),
+                    tracked_old_px=np.asarray(out.tracked_old_px),
+                    tracked_disp_3d=np.asarray(out.tracked_disp_3d),
+                    tracked_mask=np.asarray(out.tracked_mask),
+                ),
+                poses_so_far,
+                np.asarray(gt_poses) if gt_poses is not None else None,
+                times=getattr(seq, "times", None),
+                landmarks=lms,
+            )
+
     wait_s = 0.0  # main-thread time blocked on the refiner (lock-step waits)
     t0 = time.perf_counter()
-    for i in range(start_frame, n):
+    i = start_frame
+    while use_pair and i + 1 < n:
+        # --- two-frame fast path (no refiner / per-frame host consumer) ---
+        left0, right0 = seq.frame(i)
+        left1, right1 = seq.frame(i + 1)
+        state, lmap, out0, out1 = step2(
+            state, lmap, to_device(left0), to_device(right0),
+            to_device(left1), to_device(right1),
+        )
+        if i > 0:  # all_poses starts at frame 2 (VO.m:133)
+            hist.append(out0.pose_c2w, out0.rel_pose, out0.n_inliers, out0.n_tracks, out0.pose_ok)
+        hist.append(out1.pose_c2w, out1.rel_pose, out1.n_inliers, out1.n_tracks, out1.pose_ok)
+        if viz_every:
+            for j, o, lf in ((i, out0, left0), (i + 1, out1, left1)):
+                if j > 0 and j % viz_every == 0:
+                    live_viz(j, o, lf)
+        i += 2
+    for i in range(i, n):
         t_frame = time.perf_counter()
         left, right = seq.frame(i)
         if refiner is not None and i > 0 and i % ke == 0:
@@ -307,39 +378,8 @@ def run_sequence(
                     state.key,
                     i + 1,
                 )
-        # --- reference live telemetry: every-Nth-frame figures + console
-        # block (VO.m:168-204, 261-277). A deliberate host sync, amortized
-        # over viz_every frames exactly like the reference's mod(i,100).
         if viz_every and i > 0 and i % viz_every == 0:
-            pose_h = np.asarray(out.pose_c2w)
-            rel_h = np.asarray(out.rel_pose)
-            print(pretty_frame(i, rel_h, pose_h, _dt_at(seq, i)))
-            if viz_dir:
-                from ..viz import figures
-
-                fields_so_far = hist.result() if hist is not None else []
-                poses_so_far = fields_so_far[0] if fields_so_far else np.asarray(poses)
-                if len(poses_so_far) == 0:
-                    poses_so_far = pose_h[None]
-                lms = None
-                if insert_landmarks:
-                    cnt = int(lmap.count)
-                    lms = np.asarray(lmap.xyz[:cnt]) if cnt else np.zeros((0, 3), np.float32)
-                figures.frame_report(
-                    viz_dir,
-                    i,
-                    np.asarray(left),
-                    dict(
-                        tracked_cur_px=np.asarray(out.tracked_cur_px),
-                        tracked_old_px=np.asarray(out.tracked_old_px),
-                        tracked_disp_3d=np.asarray(out.tracked_disp_3d),
-                        tracked_mask=np.asarray(out.tracked_mask),
-                    ),
-                    poses_so_far,
-                    np.asarray(gt_poses) if gt_poses is not None else None,
-                    times=getattr(seq, "times", None),
-                    landmarks=lms,
-                )
+            live_viz(i, out, left)
     jax.block_until_ready(state.pose_c2w)
     wall = time.perf_counter() - t0
     if hist is not None:

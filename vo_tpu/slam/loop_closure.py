@@ -86,7 +86,12 @@ class LoopCloser:
         self.skipped_small = 0  # closures skipped by the min_correction gate
         # (path_delta_m, disc_m, gate_m, fired) per verified candidate —
         # the gate's decision log (diagnosing "why did no loop close").
+        # Bounded: only the most recent _disc_cap events are kept (one tuple
+        # per verified candidate grew without bound on long runs, ADVICE r4);
+        # n_verified counts all of them for the summary stats.
         self.disc_events: list[tuple] = []
+        self._disc_cap = 1024
+        self.n_verified = 0
         self._cooldown_left = 0
         # In-flight verification round: (verified_frame_idx, [cand frame_idx],
         # device outputs). Dispatched at keyframe t, collected at t+1.
@@ -314,6 +319,9 @@ class LoopCloser:
             self.disc_events.append(
                 (round(kf.path_m - self.keyframes[k].path_m, 1), round(disc, 3), round(gate, 3), disc >= gate)
             )
+            self.n_verified += 1
+            if len(self.disc_events) > self._disc_cap:
+                del self.disc_events[: -self._disc_cap]
             if disc < gate:
                 self.skipped_small += 1
                 # Medium cooldown: drift keeps growing, so a revisit that is
@@ -322,6 +330,8 @@ class LoopCloser:
                 # biggest worker cost.
                 self._cooldown_left = max(self._cooldown_left, self.cfg.cooldown // 2)
                 continue
+            if not np.isfinite(Z).all():
+                continue  # NaN-poisoned measurement: never let it into the graph
             self.loop_edges.append((k, cur_k, Z))
             if len(self.loop_edges) > self.cfg.max_loop_edges:
                 self.loop_edges.pop(0)
@@ -335,6 +345,10 @@ class LoopCloser:
                 # includes the full closure correction as phantom distance.
                 self._last_t = self.keyframes[-1].pose_c2w[:3, 3].copy()
                 return dict(corrected=corrected, loop=(k, cur_k))
+            # Rejected solve (non-finite or cost-increasing): pop the edge
+            # that triggered it so one bad measurement cannot permanently
+            # poison every subsequent solve (ADVICE r4).
+            self.loop_edges.pop()
         return None
 
     def _decimate(self) -> None:
