@@ -70,7 +70,8 @@ class _Preloaded:
 
 
 def preload_cached(
-    calib, poses, n_frames: int, n_landmarks: int, seed: int = 0, image_size=None, noise: float = 0.0
+    calib, poses, n_frames: int, n_landmarks: int, seed: int = 0, image_size=None,
+    noise: float = 0.0, extra_noise: float = 0.0,
 ) -> _Preloaded:
     """Render (or reload) a synthetic sequence, cached under /tmp.
 
@@ -78,6 +79,11 @@ def preload_cached(
     mismatch — a stale cache from an older trajectory generator must never be
     evaluated against new GT (ADVICE r2). The v4 name tag marks the
     100 m-visibility-horizon renderer; bump it whenever the renderer changes.
+
+    ``extra_noise`` adds deterministic Gaussian sensor noise ON TOP of the
+    cached frames at LOAD time (total sigma ~= sqrt(noise^2 + extra^2), up
+    to the double clip/quantization) — feed-severity scans sweep noise
+    without paying the ~0.5 s/frame host re-render (VERDICT r5 item 1).
     """
     from vo_tpu.io import synthetic
 
@@ -87,6 +93,19 @@ def preload_cached(
     sz = "" if image_size is None else f"_{image_size[0]}x{image_size[1]}"
     nz = "" if noise == 0.0 else f"_n{noise:g}"
     cache = f"/tmp/longrun_frames_v4_{n_frames}_{n_landmarks}_{seed}{sz}{nz}.npz"
+
+    def _add_noise(pre):
+        if extra_noise <= 0.0:
+            return pre
+        s = 255.0 * extra_noise
+        for i, (l, r) in enumerate(pre.frames):
+            rl = np.random.default_rng((seed, i, 2))
+            rr = np.random.default_rng((seed, i, 3))
+            ln = np.clip(l.astype(np.float32) + rl.normal(0.0, s, l.shape), 0.0, 255.0)
+            rn = np.clip(r.astype(np.float32) + rr.normal(0.0, s, r.shape), 0.0, 255.0)
+            pre.frames[i] = ((ln + 0.5).astype(np.uint8), (rn + 0.5).astype(np.uint8))
+        return pre
+
     if os.path.exists(cache):
         z = np.load(cache)
         if "poses" in z and z["poses"].shape == poses.shape and np.allclose(z["poses"], poses):
@@ -97,7 +116,7 @@ def preload_cached(
             # fresh full copy, and row views would pin one copy per frame.
             L, R = z["l"], z["r"]
             pre.frames = [(L[i], R[i]) for i in range(n_frames)]
-            return pre
+            return _add_noise(pre)
     t0 = time.perf_counter()
     pre = _Preloaded(seq, n_frames)
     np.savez(

@@ -128,3 +128,37 @@ def test_step_determinism(rng, kitti_calib):
     np.testing.assert_array_equal(np.asarray(o1.pose_c2w), np.asarray(o2.pose_c2w))
     np.testing.assert_array_equal(np.asarray(s1.prev.desc if hasattr(s1.prev, 'desc') else s1.prev.l_desc), np.asarray(s2.prev.l_desc))
     np.testing.assert_array_equal(np.asarray(s1.prev.ids), np.asarray(s2.prev.ids))
+
+
+@pytest.mark.slow
+def test_integrated_mesh_run_matches_single(monkeypatch):
+    """The PRODUCTION runner on a 2x4 mesh (detection data-sharded, RANSAC
+    hypothesis-sharded — odometry.runner ``mesh=``, VERDICT r5 item 2) must
+    reproduce the single-device trajectory. Hypothesis draws differ per
+    shard (fold_in), so equivalence is at RANSAC-refinement tolerance, not
+    bit-exact: both estimates refine on the same consensus set."""
+    from vo_tpu.config import PipelineConfig
+    from vo_tpu.eval import metrics
+    from vo_tpu.odometry import runner
+
+    seq = synthetic.kitti_synthetic_sequence(
+        n_frames=8, n_landmarks=1500, seed=4, image_size=(188, 620)
+    )
+    cfg = PipelineConfig(
+        sift=SIFTConfig(max_keypoints=384, n_octaves=3),
+        ransac=RansacConfig(n_hypotheses=256),
+        max_tracks=256,
+    )
+    mesh = mesh_mod.make_mesh(MeshConfig(data=2, model=4))
+    res_mesh = runner.run_sequence(seq, cfg, warmup=False, mesh=mesh)
+    res_single = runner.run_sequence(
+        seq, cfg, warmup=False, progress=lambda i, s: None  # force single-step path
+    )
+    assert res_mesh.poses.shape == res_single.poses.shape
+    assert np.array_equal(res_mesh.pose_ok, res_single.pose_ok)
+    # Same consensus geometry: trajectories agree to refinement tolerance.
+    d = np.linalg.norm(res_mesh.poses[:, :3, 3] - res_single.poses[:, :3, 3], axis=1)
+    assert d.max() < 0.05, d
+    a_mesh = metrics.ate(res_mesh.poses, seq.gt_poses)
+    a_single = metrics.ate(res_single.poses, seq.gt_poses)
+    assert abs(a_mesh["rmse"] - a_single["rmse"]) < 0.02

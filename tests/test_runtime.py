@@ -50,6 +50,58 @@ def test_checkpoint_resume_bitexact(tmp_path, small_seq):
     np.testing.assert_allclose(resumed.landmarks, full.landmarks, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_refined_resume_bit_exact(tmp_path):
+    """Mid-run interrupt + resume of a --loop-closure --ba run reproduces the
+    uninterrupted trajectory BIT-exactly (VERDICT r5 item 7): the v2
+    checkpoint round-trips the refiner ledgers, LoopCloser archive (incl.
+    descriptors), loop edges, in-flight pipelined rounds and the
+    associator rings, and the worker has no timing-dependent branches."""
+    import dataclasses
+
+    import numpy as np
+
+    from vo_tpu.io import kitti, synthetic
+    from vo_tpu.odometry import runner
+
+    # Out-and-back GT so the closure machinery (archive, candidates,
+    # verification rounds) actually engages state worth checkpointing.
+    gt = kitti.read_poses("/root/reference/kitti/poses/00.txt")
+    half = gt[:18]
+    poses = np.concatenate([half, half[::-1]])[:34]
+    calib = kitti.load_stereo_calib("/root/reference/kitti/00")
+    from vo_tpu.geom.camera import scale_calib
+
+    seq = synthetic.SyntheticSequence(
+        scale_calib(calib, (128, 256)), poses, n_landmarks=900, seed=6
+    )
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        ba=dataclasses.replace(cfg.ba, keyframe_every=4, window=4),
+        loop=dataclasses.replace(cfg.loop, min_gap=2, verify_cooldown=1),
+    )
+    kw = dict(use_ba=True, use_loop_closure=True, warmup=False)
+    # Uninterrupted reference (non-deferred path to match the resumed run).
+    full = runner.run_sequence(seq, cfg, n_frames=34, progress=lambda i, s: None, **kw)
+    ck = str(tmp_path / "ck_refined.npz")
+    runner.run_sequence(
+        seq, cfg, n_frames=18, checkpoint_path=ck, checkpoint_every=18, **kw
+    )
+    assert os.path.exists(ck)
+    resumed = runner.run_sequence(
+        seq, cfg, n_frames=34, checkpoint_path=ck, resume=True, **kw
+    )
+    assert resumed.poses.shape == full.poses.shape
+    assert np.array_equal(resumed.poses, full.poses), (
+        np.abs(resumed.poses - full.poses).max()
+    )
+    assert np.array_equal(resumed.n_inliers, full.n_inliers)
+    assert np.array_equal(resumed.pose_ok, full.pose_ok)
+    assert resumed.refine_stats["n_keyframes"] == full.refine_stats["n_keyframes"]
+    assert resumed.refine_stats["loops_closed"] == full.refine_stats["loops_closed"]
+
+
 def test_checkpoint_roundtrip_fields(tmp_path, small_seq):
     from vo_tpu.odometry import checkpoint, landmarks as lm_mod, runner
     from vo_tpu.odometry.pipeline import init_state

@@ -41,13 +41,14 @@ def out_and_back_poses(n_frames: int) -> np.ndarray:
 
 def load_or_render(
     calib, poses: np.ndarray, n_frames: int, n_landmarks: int, seed: int = 0, image_size=None,
-    noise: float = 0.0,
+    noise: float = 0.0, extra_noise: float = 0.0,
 ):
     """Pose-validated rendered-frame cache (see bench.preload_cached)."""
     from bench import preload_cached
 
     return preload_cached(
-        calib, poses, n_frames, n_landmarks, seed, image_size=image_size, noise=noise
+        calib, poses, n_frames, n_landmarks, seed, image_size=image_size, noise=noise,
+        extra_noise=extra_noise,
     )
 
 

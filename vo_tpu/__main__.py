@@ -44,6 +44,15 @@ def _add_run(sub):
         help="dominant orientation peak only (disables the MATLAB multi-peak rule)",
     )
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument(
+        "--mesh",
+        default=None,
+        metavar="DATA,MODEL",
+        help="device-mesh shape, e.g. 2,4: detection sharded over DATA (1 or 2 "
+        "— the stereo pair), RANSAC hypotheses + BA landmarks sharded over "
+        "MODEL. Needs DATA*MODEL devices (virtual CPU mesh: "
+        "XLA_FLAGS=--xla_force_host_platform_device_count=N)",
+    )
     p.add_argument("--ba", action="store_true", help="enable sliding-window bundle adjustment")
     p.add_argument("--loop-closure", action="store_true", help="enable loop detection + pose-graph correction")
     p.add_argument("--loop-radius", type=float, default=None, help="loop candidate proximity gate (m)")
@@ -132,6 +141,34 @@ def cmd_run(args) -> int:
     cfg = _build_cfg(args)
     os.makedirs(args.out, exist_ok=True)
 
+    mesh = None
+    if args.mesh:
+        import dataclasses
+
+        from vo_tpu.config import MeshConfig
+        from vo_tpu.dist.mesh import make_mesh
+
+        try:
+            data, model = (int(x) for x in args.mesh.split(","))
+        except ValueError:
+            print("error: --mesh expects DATA,MODEL (e.g. 2,4)", file=sys.stderr)
+            return 2
+        import jax as _jax
+
+        n_dev = len(_jax.devices())
+        if data * model > n_dev:
+            print(
+                f"error: --mesh {data}x{model} needs {data * model} devices, "
+                f"have {n_dev} (virtual CPU mesh: "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu)",
+                file=sys.stderr,
+            )
+            return 2
+        mcfg = MeshConfig(data=data, model=model)
+        cfg = dataclasses.replace(cfg, mesh=mcfg)
+        mesh = make_mesh(mcfg, devices=_jax.devices()[: data * model])
+        print(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} {_jax.devices()[0].platform} devices")
+
     def progress(i, info):
         if i % 10 == 0:
             print(f"frame {i}: tracks={info['n_tracks']} inliers={info['n_inliers']} ok={info['pose_ok']}")
@@ -151,6 +188,7 @@ def cmd_run(args) -> int:
         use_loop_closure=args.loop_closure,
         viz_every=args.viz_every,
         viz_dir=os.path.join(args.out, "img") if args.viz_every else None,
+        mesh=mesh,
     )
     runner.save_result(res, args.out)
     print(f"{res.poses.shape[0] + 1} frames  {res.frames_per_sec:.2f} fps  {res.per_frame_ms:.1f} ms/frame")

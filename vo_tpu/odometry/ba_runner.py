@@ -159,13 +159,30 @@ class WindowAssociator:
 class WindowedBA:
     """Keyframe window + jitted solver; returns pose corrections."""
 
-    def __init__(self, calib: StereoCalib, cfg: BAConfig):
+    def __init__(self, calib: StereoCalib, cfg: BAConfig, mesh=None):
         self.calib = calib
         self.cfg = cfg
         self.window: deque = deque(maxlen=cfg.window)
-        self._solve = jax.jit(lambda p: solve_window(p, calib, cfg))
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            # Landmark-sharded Schur solve over the mesh's "model" axis —
+            # identical system (psum-reduced einsums), equivalence-tested in
+            # tests/test_ba.py::test_sharded_ba_matches_single.
+            from ..dist.ba_sharded import solve_window_sharded
+
+            self._solve = jax.jit(
+                lambda p: solve_window_sharded(p, calib, cfg, mesh)
+            )
+        else:
+            self._solve = jax.jit(lambda p: solve_window(p, calib, cfg))
         self.last_result = None
         self.n_rejected = 0  # solves discarded by the correction sanity gate
+        # In-flight solves: (BAResult device refs, window frame_idxs at
+        # dispatch), collected TWO keyframes later — see dispatch(). One
+        # keyframe of depth (65 ms of device progress) was not enough: the
+        # main thread dispatches frames far ahead of execution, so a solve
+        # still sat ~80 ms behind the device's queue head at collect time
+        # (worker_ba_collect_s 8.4 s / 117 solves, r5 measurement).
+        self._pending: deque = deque()
         # Active-landmark telemetry: how much of the [K, max_points] grid a
         # real window actually uses. r4 ran max_points=4096 while the cascade
         # carries ~70-150 tracks/frame — most solve FLOPs multiplied padding
@@ -293,38 +310,85 @@ class WindowedBA:
             kf_mask=jnp.asarray(kf_mask),
         )
 
-    def optimize(self):
-        """Solve the current window. Returns (corrected_kf_poses, correction)
-        where correction maps old last-kf pose -> refined last-kf pose, or
-        None if the window isn't ready.
+    PIPELINE_DEPTH = 2  # keyframes between a solve's dispatch and its collect
 
-        Window keyframes do NOT adopt the refined poses: every solve is an
-        independent local refinement anchored on the (VO/loop-corrected)
-        chain poses the keyframes entered with. Adopting refined poses fed
-        each solve's residual bias into the next window's anchor, so the
-        bias INTEGRATED across solves — measured +0.08 m over 117 solves on
-        a 600-frame run whose plain-VO drift was smaller than that. A
-        sliding window can only observe intra-window structure; accumulated
-        drift is the pose graph's job (slam.loop_closure), so corrections
-        here are deliberately bounded and non-compounding."""
+    def dispatch(self) -> bool:
+        """Assemble + launch the current window's solve WITHOUT reading the
+        result: the result read blocks until the device's dispatch-ahead
+        frame queue reaches the solve (measured ~120 ms/solve of queue wait
+        at reference scale, far above the ~20 ms of actual solve compute at
+        M=512), so results are collected PIPELINE_DEPTH keyframes later
+        (collect()) — the same treatment loop-closure verification gets.
+        Returns whether a solve was launched."""
         prob = self._assemble()
         if prob is None:
-            return None
+            return False
         res = self._solve(prob)
-        if not np.isfinite(float(res.cost)) or float(res.cost) > float(res.cost0):
+        for a in (res.T_c2w, res.cost, res.cost0):
+            try:
+                a.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+        self._pending.append((res, [kf.frame_idx for kf in self.window]))
+        return True
+
+    def drop_pending(self) -> None:
+        """Invalidate the in-flight solves (after a loop closure re-bases the
+        window: they were computed from pre-closure poses and collecting
+        them would write stale absolute poses over the closure correction)."""
+        self._pending.clear()
+
+    def collect(self, drain: bool = False) -> list:
+        """Gate + return ripe solves as [(kf_frame_idxs, T_new [n,4,4])].
+
+        A solve is ripe once PIPELINE_DEPTH newer dispatches exist (or on
+        ``drain`` at end of run). Window keyframes do NOT adopt the refined
+        poses: every solve is an independent local refinement anchored on
+        the (VO/loop-corrected) chain poses the keyframes entered with.
+        Adopting refined poses fed each solve's residual bias into the next
+        window's anchor, so the bias INTEGRATED across solves — measured
+        +0.08 m over 117 solves on a 600-frame run whose plain-VO drift was
+        smaller than that. A sliding window can only observe intra-window
+        structure; accumulated drift is the pose graph's job
+        (slam.loop_closure), so corrections here are deliberately bounded
+        and non-compounding."""
+        out = []
+        while self._pending and (drain or len(self._pending) >= self.PIPELINE_DEPTH):
+            res, kf_idxs = self._pending.popleft()
+            if not np.isfinite(float(res.cost)) or float(res.cost) > float(res.cost0):
+                continue
+            self.last_result = res
+            n = len(kf_idxs)
+            T_new = np.asarray(res.T_c2w)[:n]
+            # Sanity gate on the LAST keyframe's correction: beyond plausible
+            # intra-window drift means the solve wandered (weak
+            # conditioning); discard rather than corrupt the trajectory
+            # through re-anchoring.
+            T_old_last = None
+            for kf in self.window:
+                if kf.frame_idx == kf_idxs[-1]:
+                    T_old_last = kf.pose_c2w
+            if T_old_last is None:  # window moved on entirely; stale solve
+                continue
+            correction = T_new[-1] @ np.linalg.inv(T_old_last)
+            d_t = float(np.linalg.norm(correction[:3, 3]))
+            cos_a = np.clip((np.trace(correction[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
+            d_deg = float(np.degrees(np.arccos(cos_a)))
+            if d_t > self.cfg.max_corr_t or d_deg > self.cfg.max_corr_deg:
+                self.n_rejected += 1
+                continue
+            out.append((kf_idxs, T_new))
+        return out
+
+    def optimize(self):
+        """Synchronous dispatch + collect (tests / non-pipelined callers).
+        Returns (T_new, correction_of_last_kf) or None."""
+        self.drop_pending()
+        if not self.dispatch():
             return None
-        self.last_result = res
-        n = len(self.window)
-        T_new = np.asarray(res.T_c2w)[:n]
+        got = self.collect(drain=True)
+        if not got:
+            return None
+        kf_idxs, T_new = got[-1]
         T_old_last = self.window[-1].pose_c2w
-        correction = T_new[-1] @ np.linalg.inv(T_old_last)
-        # Sanity gate: a correction beyond plausible intra-window drift means
-        # the solve wandered (weak conditioning); discard rather than corrupt
-        # the trajectory through rigid re-anchoring.
-        d_t = float(np.linalg.norm(correction[:3, 3]))
-        cos_a = np.clip((np.trace(correction[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
-        d_deg = float(np.degrees(np.arccos(cos_a)))
-        if d_t > self.cfg.max_corr_t or d_deg > self.cfg.max_corr_deg:
-            self.n_rejected += 1
-            return None
-        return T_new, correction
+        return T_new, T_new[-1] @ np.linalg.inv(T_old_last)

@@ -114,11 +114,16 @@ def _step_core(
     next_key: jax.Array,
     calib: StereoCalib,
     cfg: PipelineConfig,
+    pose_fn=None,
 ) -> tuple[VOState, FrameOutput]:
     """Everything after detection: the serial (pose-dependent) part of the
     frame. Split out of vo_step so the two-frame pipelined step can batch
     DETECTION over both frames (pose-independent) while chaining this part
-    sequentially (VERDICT r5 item 6)."""
+    sequentially (VERDICT r5 item 6).
+
+    ``pose_fn(px2d, pts3d, mask, key) -> PoseEstimate`` overrides the
+    single-device RANSAC — the mesh-integrated production step passes the
+    hypothesis-sharded estimator here (dist.ransac_sharded)."""
     cap = cfg.max_tracks
     stereo, m_st = stereo_features_with_matches(feats_l, feats_r, cfg.matcher, cap)
 
@@ -136,7 +141,10 @@ def _step_core(
     pose_mask = tr.mask & depth_ok
 
     # --- RANSAC-P3P world pose (VO.m:123-127) ---
-    est = estimate_world_pose(cur_l_px, X_prev, pose_mask, calib, cfg.ransac, key)
+    if pose_fn is None:
+        est = estimate_world_pose(cur_l_px, X_prev, pose_mask, calib, cfg.ransac, key)
+    else:
+        est = pose_fn(cur_l_px, X_prev, pose_mask, key)
 
     # --- chain / fallback (VO.m:130) ---
     first = state.frame_idx == 0
@@ -204,12 +212,18 @@ def vo_step(
     key: jax.Array | None,
     calib: StereoCalib,
     cfg: PipelineConfig,
+    pose_fn=None,
+    img_sharding=None,
 ) -> tuple[VOState, FrameOutput]:
     """One frame. Jit with static (calib-as-weak-static via closure, cfg static).
 
     ``key=None`` draws from ``state.key`` (split inside the program — the
     production path, saving a per-frame dispatch); an explicit key overrides
-    it (determinism tests, hypothesis-sharded RANSAC drivers)."""
+    it (determinism tests, hypothesis-sharded RANSAC drivers).
+    ``img_sharding`` (a NamedSharding over the mesh's "data" axis) shards the
+    stereo detection batch across devices; ``pose_fn`` swaps in the sharded
+    RANSAC (see _step_core) — together these make the PRODUCTION step run
+    distributed (odometry.runner ``mesh=``, VERDICT r5 item 2)."""
     next_key = state.key
     if key is None:
         next_key, key = jax.random.split(state.key)
@@ -217,12 +231,13 @@ def vo_step(
     # --- front-end (VO.m:79-87) ---
     # One vmapped program over the stereo pair: convs/top_k/gathers batch
     # across the two images instead of running as two serial programs.
-    feats_lr = jax.vmap(lambda im: detect_and_describe(im, cfg.sift))(
-        jnp.stack([_normalize(left), _normalize(right)])
-    )
+    imgs = jnp.stack([_normalize(left), _normalize(right)])
+    if img_sharding is not None:
+        imgs = jax.lax.with_sharding_constraint(imgs, img_sharding)
+    feats_lr = jax.vmap(lambda im: detect_and_describe(im, cfg.sift))(imgs)
     feats_l = jax.tree.map(lambda x: x[0], feats_lr)
     feats_r = jax.tree.map(lambda x: x[1], feats_lr)
-    return _step_core(state, feats_l, feats_r, key, next_key, calib, cfg)
+    return _step_core(state, feats_l, feats_r, key, next_key, calib, cfg, pose_fn=pose_fn)
 
 
 def vo_step_pair(
@@ -284,11 +299,44 @@ def make_jitted_step(calib: StereoCalib, cfg: PipelineConfig, precision: str | N
     return step
 
 
+def _mesh_step_overrides(calib: StereoCalib, cfg: PipelineConfig, mesh):
+    """(pose_fn, img_sharding) routing the step through the dist layer.
+
+    "model" axis > 1 -> hypothesis-sharded RANSAC (dist.ransac_sharded:
+    per-shard PRNG fold + all_gather winner); "data" axis > 1 -> the stereo
+    detection batch sharded across devices (the production analogue of
+    dist.frontend_batch — the batch is the L/R pair, so data must be 1 or 2).
+    """
+    if mesh is None:
+        return None, None
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    pose_fn = None
+    img_sharding = None
+    if mesh.shape.get("model", 1) > 1:
+        from ..dist.ransac_sharded import estimate_world_pose_sharded
+
+        def pose_fn(px2d, pts3d, mask, key):
+            return estimate_world_pose_sharded(
+                px2d, pts3d, mask, calib, cfg.ransac, key, mesh
+            )
+
+    data = mesh.shape.get("data", 1)
+    if data > 1:
+        if data != 2:
+            raise ValueError(
+                f"integrated step shards the stereo pair on 'data'; axis size {data} != 2"
+            )
+        img_sharding = NamedSharding(mesh, PartitionSpec("data"))
+    return pose_fn, img_sharding
+
+
 def make_fused_loop_step(
     calib: StereoCalib,
     cfg: PipelineConfig,
     precision: str | None = None,
     with_landmarks: bool = False,
+    mesh=None,
 ):
     """ONE device program per frame for the production loop.
 
@@ -299,19 +347,28 @@ def make_fused_loop_step(
     the compute itself ran at ~13 ms. The map argument is donated — updated
     in place, never copied.
 
+    With ``mesh`` the SAME program runs distributed: detection sharded on
+    the "data" axis, RANSAC hypothesis-sharded on "model"
+    (_mesh_step_overrides; VERDICT r5 item 2 — the dist layer as a
+    capability of the production engine, not a test-only library).
+
     Returns ``step(state, lmap, left, right) -> (state, lmap, out)``; pass
     ``lmap=None`` when ``with_landmarks=False``.
     """
     from . import landmarks as lm_mod
 
     precision = cfg.matmul_precision if precision is None else precision
+    pose_fn, img_sharding = _mesh_step_overrides(calib, cfg, mesh)
 
     if with_landmarks:
 
         @partial(jax.jit, donate_argnums=(1,))
         def step(state, lmap, left, right):
             with jax.default_matmul_precision(precision):
-                state, out = vo_step(state, left, right, None, calib, cfg)
+                state, out = vo_step(
+                    state, left, right, None, calib, cfg,
+                    pose_fn=pose_fn, img_sharding=img_sharding,
+                )
                 lmap = lm_mod.insert(
                     lmap, out.new_lm_l_px, out.new_lm_r_px, out.new_lm_mask,
                     out.pose_c2w, calib, cfg.landmarks,
@@ -323,7 +380,10 @@ def make_fused_loop_step(
         @jax.jit
         def step(state, lmap, left, right):
             with jax.default_matmul_precision(precision):
-                state, out = vo_step(state, left, right, None, calib, cfg)
+                state, out = vo_step(
+                    state, left, right, None, calib, cfg,
+                    pose_fn=pose_fn, img_sharding=img_sharding,
+                )
             return state, lmap, out
 
     return step

@@ -71,6 +71,18 @@ def _start_async_copy(arr):
         pass  # backend without async copies; np.asarray in the worker still works
 
 
+# Queue sentinel: process the STAGED job now (checkpoint_state needs the
+# worker fully caught up, not one keyframe behind).
+_FLUSH = object()
+
+
+def _stack(arrs: list, tail_shape: tuple, dtype=np.float32) -> np.ndarray:
+    """np.stack with a typed empty for zero-length lists (npz needs shapes)."""
+    if arrs:
+        return np.stack([np.asarray(a, dtype) for a in arrs])
+    return np.zeros((0,) + tail_shape, dtype)
+
+
 def propagate_closure(
     kf_order: list[int],
     kf_corrected: dict[int, np.ndarray],
@@ -120,6 +132,7 @@ class RefinerWorker:
         cfg: PipelineConfig,
         use_ba: bool,
         use_loop_closure: bool,
+        mesh=None,
     ):
         self.calib = calib
         self.cfg = cfg
@@ -128,7 +141,9 @@ class RefinerWorker:
         if use_ba:
             from .ba_runner import WindowAssociator, WindowedBA
 
-            self.wba = WindowedBA(calib, cfg.ba)
+            # With a mesh, the window solve runs landmark-sharded on the
+            # "model" axis (dist.ba_sharded) — same solver, psum-reduced.
+            self.wba = WindowedBA(calib, cfg.ba, mesh=mesh)
             self.associator = WindowAssociator(cfg.ba.window)
             # Compile the window solver NOW (runner constructs the worker
             # before its timed loop) instead of inside the first keyframe's
@@ -143,6 +158,10 @@ class RefinerWorker:
             from ..slam.loop_closure import LoopCloser
 
             self.lclo = LoopCloser(calib, cfg.loop, matcher=cfg.matcher)
+            # Compile the fused verification program now, not inside the
+            # first candidate round on the worker thread (r5 measurement:
+            # ~10 s of worker_lc_dispatch_s was first-round compile).
+            self.lclo.warmup(cfg.max_tracks)
 
             # On-device global descriptor (mirror of loop_closure._global_desc).
             @jax.jit
@@ -180,7 +199,6 @@ class RefinerWorker:
         self._error: Optional[BaseException] = None
         self._loops_closed = 0
         self._ba_solves = 0
-        self._ba_skipped = 0  # window solves skipped under queue backlog
         self._phase_s: defaultdict = defaultdict(float)  # worker-phase seconds
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -266,7 +284,6 @@ class RefinerWorker:
         s = dict(loops_closed=self._loops_closed, ba_solves=self._ba_solves)
         if self.wba is not None:
             s["ba_rejected"] = self.wba.n_rejected
-            s["ba_skipped_backlog"] = self._ba_skipped
             if self.wba.n_active:  # solver-capacity telemetry (VERDICT r5 item 3)
                 act = sorted(self.wba.n_active)
                 cand = sorted(self.wba.n_candidate)
@@ -295,12 +312,220 @@ class RefinerWorker:
             err, self._error = self._error, None
             raise err
 
+    # -- checkpoint / resume --------------------------------------------------
+    #
+    # r4 checkpointed only the VO-side state; a resumed --loop-closure run
+    # quietly lost its keyframe ledger, loop edges and cumulative correction
+    # D (VERDICT r5 item 7). Here the COMPLETE refinement state — ledgers,
+    # LoopCloser archive (incl. descriptors read back from device), loop
+    # edges, in-flight pipelined rounds (BA solve + verification, as host
+    # arrays), associator rings — round-trips through a flat numpy dict, so
+    # resume is bit-exact vs the uninterrupted run (tests/test_runtime.py).
+
+    def checkpoint_state(self) -> dict:
+        """Drain the worker (staged job included) and snapshot refinement
+        state as a flat {name: np.ndarray} dict for npz persistence."""
+        self._q.put(_FLUSH)
+        self._q.join()
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+        p: dict = {}
+        with self._lock:
+            order = list(self._kf_order)
+            p["ref_kf_order"] = np.asarray(order, np.int64)
+            p["ref_kf_corrected"] = (
+                np.stack([self._kf_corrected[i] for i in order])
+                if order else np.zeros((0, 4, 4), np.float32)
+            )
+            p["ref_kf_chain"] = (
+                np.stack([self._kf_chain[i] for i in order])
+                if order else np.zeros((0, 4, 4), np.float32)
+            )
+        p["ref_D"] = self._D.copy()
+        p["ref_counters"] = np.asarray([self._loops_closed, self._ba_solves], np.int64)
+        if self.lclo is not None:
+            lc = self.lclo
+            kfs = lc.keyframes
+            host = [self._kf_host_arrays(k) for k in kfs]
+            p["lc_kf_frame_idx"] = np.asarray([k.frame_idx for k in kfs], np.int64)
+            p["lc_kf_pose"] = _stack([k.pose_c2w for k in kfs], (4, 4))
+            p["lc_kf_lpx"] = _stack([h[0] for h in host], (0, 2))
+            p["lc_kf_rpx"] = _stack([h[1] for h in host], (0, 2))
+            p["lc_kf_desc"] = _stack([h[2] for h in host], (0, 128))
+            p["lc_kf_mask"] = _stack([h[3] for h in host], (0,), bool)
+            p["lc_kf_gdesc"] = _stack([k.global_desc for k in kfs], (128,))
+            p["lc_kf_path"] = np.asarray([k.path_m for k in kfs], np.float64)
+            p["lc_edges_a"] = np.asarray([e[0] for e in lc.loop_edges], np.int64)
+            p["lc_edges_b"] = np.asarray([e[1] for e in lc.loop_edges], np.int64)
+            p["lc_edges_Z"] = _stack([e[2] for e in lc.loop_edges], (4, 4))
+            p["lc_scalars"] = np.asarray(
+                [lc.decimations, lc.skipped_small, lc.n_verified, lc._cooldown_left],
+                np.int64,
+            )
+            p["lc_path_m"] = np.asarray(lc._path_m, np.float64)
+            p["lc_last_t"] = (
+                lc._last_t if lc._last_t is not None else np.full(3, np.nan, np.float64)
+            )
+            p["lc_key"] = np.asarray(lc._key)
+            if lc._pending is not None:
+                ver_fi, cand_fis, outs = lc._pending
+                import jax
+
+                ok, n_inl, poses, n_m = jax.tree.map(np.asarray, outs)
+                p["lc_pend_ver"] = np.asarray(ver_fi, np.int64)
+                p["lc_pend_cands"] = np.asarray(cand_fis, np.int64)
+                p["lc_pend_ok"] = ok
+                p["lc_pend_ninl"] = n_inl
+                p["lc_pend_poses"] = poses
+                p["lc_pend_nm"] = n_m
+        if self.wba is not None:
+            w = self.wba
+            kfs = list(w.window)
+            slots = self.associator._slot_tids
+            p["ba_win_frame_idx"] = np.asarray([k.frame_idx for k in kfs], np.int64)
+            p["ba_win_pose"] = _stack([k.pose_c2w for k in kfs], (4, 4))
+            p["ba_win_lpx"] = _stack([k.l_px for k in kfs], (0, 2))
+            p["ba_win_rpx"] = _stack([k.r_px for k in kfs], (0, 2))
+            p["ba_win_mask"] = _stack([k.mask for k in kfs], (0,), bool)
+            p["ba_win_ids"] = _stack(
+                [np.asarray(k.ids, np.int64) for k in kfs], (0,), np.int64
+            )
+            # ids sharing: which associator ring slot each window keyframe's
+            # ids array IS (in-place canonicalization must keep reaching it).
+            p["ba_win_slot"] = np.asarray(
+                [next((s for s, st in enumerate(slots) if st is not None and st is k.ids), -1)
+                 for k in kfs],
+                np.int64,
+            )
+            present = np.asarray([st is not None for st in slots], bool)
+            C = self.cfg.max_tracks
+            ring = np.full((len(slots), C), -1, np.int64)
+            for s, st in enumerate(slots):
+                if st is not None:
+                    ring[s] = st
+            p["ba_ring_tids"] = ring
+            p["ba_ring_present"] = present
+            p["ba_next"] = np.asarray(self.associator._next, np.int64)
+            p["ba_rejected"] = np.asarray(w.n_rejected, np.int64)
+            for j, (res, kf_idxs) in enumerate(w._pending):
+                p[f"ba_pend{j}_T"] = np.asarray(res.T_c2w)
+                p[f"ba_pend{j}_cost"] = np.asarray(res.cost)
+                p[f"ba_pend{j}_cost0"] = np.asarray(res.cost0)
+                p[f"ba_pend{j}_idxs"] = np.asarray(kf_idxs, np.int64)
+        return p
+
+    @staticmethod
+    def _kf_host_arrays(kf) -> tuple:
+        """(l_px, r_px, l_desc, mask) of an archived keyframe as host arrays
+        (reading back from the device refs where no host copy exists)."""
+        l_px = kf.l_px if kf.l_px is not None else np.asarray(kf.dev[0], np.float32)
+        r_px = kf.r_px if kf.r_px is not None else np.asarray(kf.dev[1], np.float32)
+        desc = kf.l_desc if kf.l_desc is not None else np.asarray(kf.dev[2], np.float32)
+        mask = kf.mask if kf.mask is not None else np.asarray(kf.dev[3], bool)
+        return np.asarray(l_px, np.float32), np.asarray(r_px, np.float32), desc, np.asarray(mask, bool)
+
+    def restore_state(self, p: dict) -> None:
+        """Inverse of checkpoint_state. Call before any submit()."""
+        import jax.numpy as jnp
+
+        order = [int(i) for i in p["ref_kf_order"]]
+        with self._lock:
+            self._kf_order = order
+            self._kf_corrected = {i: p["ref_kf_corrected"][k].copy() for k, i in enumerate(order)}
+            self._kf_chain = {i: p["ref_kf_chain"][k].copy() for k, i in enumerate(order)}
+        self._D = np.asarray(p["ref_D"], np.float64)
+        self._loops_closed, self._ba_solves = (int(x) for x in p["ref_counters"])
+        if self.lclo is not None and "lc_kf_frame_idx" in p:
+            from ..slam.loop_closure import ArchivedKeyframe
+
+            lc = self.lclo
+            lc.keyframes = [
+                ArchivedKeyframe(
+                    frame_idx=int(p["lc_kf_frame_idx"][k]),
+                    pose_c2w=p["lc_kf_pose"][k].copy(),
+                    l_px=p["lc_kf_lpx"][k],
+                    r_px=p["lc_kf_rpx"][k],
+                    l_desc=p["lc_kf_desc"][k],
+                    mask=p["lc_kf_mask"][k],
+                    global_desc=p["lc_kf_gdesc"][k],
+                    path_m=float(p["lc_kf_path"][k]),
+                    dev=None,  # re-uploaded on demand (_dev_of)
+                )
+                for k in range(p["lc_kf_frame_idx"].shape[0])
+            ]
+            lc.loop_edges = [
+                (int(a), int(b), Z.copy())
+                for a, b, Z in zip(p["lc_edges_a"], p["lc_edges_b"], p["lc_edges_Z"])
+            ]
+            lc.decimations, lc.skipped_small, lc.n_verified, lc._cooldown_left = (
+                int(x) for x in p["lc_scalars"]
+            )
+            lc._path_m = float(p["lc_path_m"])
+            lt = np.asarray(p["lc_last_t"])
+            lc._last_t = None if np.isnan(lt).any() else lt
+            lc._key = jnp.asarray(p["lc_key"])
+            if "lc_pend_ver" in p:
+                lc._pending = (
+                    int(p["lc_pend_ver"]),
+                    [int(x) for x in p["lc_pend_cands"]],
+                    (p["lc_pend_ok"], p["lc_pend_ninl"], p["lc_pend_poses"], p["lc_pend_nm"]),
+                )
+        if self.wba is not None and "ba_win_frame_idx" in p:
+            from .ba_runner import Keyframe
+
+            slots: list = [None] * self.associator.n_slots
+            for s in range(len(slots)):
+                if p["ba_ring_present"][s]:
+                    slots[s] = p["ba_ring_tids"][s].copy()
+            self.associator._slot_tids = slots
+            self.associator._next = int(p["ba_next"])
+            live = set()
+            for st in slots:
+                if st is not None:
+                    live.update(int(t) for t in st[st >= 0])
+            self.associator._parent = {t: t for t in live}  # canonicalized invariant
+            self.wba.window.clear()
+            for k in range(p["ba_win_frame_idx"].shape[0]):
+                s = int(p["ba_win_slot"][k])
+                ids = slots[s] if s >= 0 and slots[s] is not None else p["ba_win_ids"][k].copy()
+                self.wba.window.append(
+                    Keyframe(
+                        frame_idx=int(p["ba_win_frame_idx"][k]),
+                        pose_c2w=p["ba_win_pose"][k].copy(),
+                        ids=ids,
+                        l_px=p["ba_win_lpx"][k],
+                        r_px=p["ba_win_rpx"][k],
+                        mask=p["ba_win_mask"][k],
+                    )
+                )
+            self.wba.n_rejected = int(p["ba_rejected"])
+            from ..ba.window import BAResult
+
+            self.wba._pending.clear()
+            j = 0
+            while f"ba_pend{j}_T" in p:
+                res = BAResult(
+                    T_c2w=p[f"ba_pend{j}_T"], X=np.zeros((0, 3), np.float32),
+                    cost0=p[f"ba_pend{j}_cost0"], cost=p[f"ba_pend{j}_cost"],
+                    n_obs=np.asarray(0),
+                )
+                self.wba._pending.append((res, [int(x) for x in p[f"ba_pend{j}_idxs"]]))
+                j += 1
+
     # -- worker thread --------------------------------------------------------
 
     def _finalize(self) -> None:
-        """Collect the LoopCloser's final in-flight verification round (the
-        pipelined dispatch at the last keyframe has no successor to collect
-        it) and fold an end-of-run closure into the ledger."""
+        """Collect the final in-flight work (the pipelined dispatches at the
+        last keyframe have no successor to collect them): the last window
+        solve, then the LoopCloser's last verification round, folding an
+        end-of-run closure into the ledger."""
+        if self.wba is not None:
+            for kf_idxs, T_new in self.wba.collect(drain=True):
+                self._ba_solves += 1
+                with self._lock:
+                    for k, fi in enumerate(kf_idxs):
+                        self._kf_corrected[fi] = T_new[k].copy()
         if self.lclo is None:
             return
         res = self.lclo.flush()
@@ -312,35 +537,51 @@ class RefinerWorker:
             propagate_closure(self._kf_order, self._kf_corrected, self._kf_chain, surv)
 
     def _run(self) -> None:
-        # Jobs are processed ONE KEYFRAME LATE: job k's host reads (pose /
+        # Jobs are processed TWO KEYFRAMES LATE: job k's host reads (pose /
         # gdesc / feature payloads) block until the device's dispatch-ahead
         # queue reaches the ops that produced them, and at submit time those
-        # ops sit at the head of a multi-frame backlog — reading immediately
+        # ops sit deep in a multi-frame backlog — reading immediately
         # measured ~50 ms of pure queue wait per keyframe (worker_copy_s
         # 43.7 s + lc_collect_s 21.4 s over 899 keyframes, BIGRUN_r04 vo_lc;
-        # VERDICT r5 item 4). By the time job k+1 arrives the device has
-        # advanced a full keyframe period and the async copies started at
-        # submit have landed, so the reads complete without blocking.
+        # VERDICT r5 item 4), and one keyframe of depth still left ~35 ms
+        # (the main thread dispatches frames well ahead of execution). By
+        # the time job k+2 arrives the device has advanced two keyframe
+        # periods and the async copies started at submit have landed.
         # Deterministic: processing order is unchanged, only shifted.
-        staged: Optional[_KeyframeJob] = None
+        from collections import deque
+
+        staged: deque = deque()
+
+        def drain():
+            while staged:
+                self._process(staged.popleft())
+
         while True:
             job = self._q.get()
+            if job is _FLUSH:
+                try:
+                    drain()
+                except BaseException as e:
+                    self._error = e
+                finally:
+                    staged.clear()
+                    self._q.task_done()
+                continue
             if job is None:
                 try:
-                    if staged is not None:
-                        self._process(staged)
+                    drain()
                     self._finalize()
                 except BaseException as e:  # surfaced on the main thread
                     self._error = e
                 self._q.task_done()
                 return
             try:
-                if staged is not None:
-                    self._process(staged)
+                if len(staged) >= 2:
+                    self._process(staged.popleft())
             except BaseException as e:  # surfaced on the main thread
                 self._error = e
             finally:
-                staged = job
+                staged.append(job)
                 self._q.task_done()
 
     def _process(self, job: _KeyframeJob) -> None:
@@ -402,6 +643,10 @@ class RefinerWorker:
                 # decimated (nearest-survivor delta), or the next window
                 # solve initializes from pre-closure geometry (ADVICE r3).
                 if self.wba is not None:
+                    # An in-flight solve was computed from PRE-closure poses;
+                    # collecting it would overwrite the closure correction
+                    # with stale absolute poses. Closures are rare — drop it.
+                    self.wba.drop_pending()
                     for kf in self.wba.window:
                         if kf.frame_idx in surv:
                             kf.pose_c2w = surv[kf.frame_idx].astype(np.float32)
@@ -415,6 +660,18 @@ class RefinerWorker:
 
         if self.wba is not None:
             from .ba_runner import Keyframe
+
+            # Collect the solve dispatched at the PREVIOUS keyframe first
+            # (its device result has had a full keyframe period to land —
+            # reading at dispatch measured ~120 ms of queue wait per solve,
+            # ba_runner.dispatch docstring).
+            t0 = time.perf_counter()
+            for kf_idxs, T_new in self.wba.collect():
+                self._ba_solves += 1
+                with self._lock:
+                    for k, fi in enumerate(kf_idxs):
+                        self._kf_corrected[fi] = T_new[k].copy()
+            self._phase_s["ba_collect"] += time.perf_counter() - t0
 
             # BA inits from the (loop-corrected) chain pose, never from a
             # previous window solve (non-compounding local refinement).
@@ -444,22 +701,12 @@ class RefinerWorker:
                     mask=mask,
                 )
             )
-            # Skip-on-backlog: if newer keyframes are already queued, solving
-            # THIS window would only delay them — and corrections are
-            # non-compounding by design (WindowedBA.optimize docstring:
-            # every solve is an independent local refinement off the chain
-            # pose), so a dropped solve costs nothing downstream. The
-            # keyframe itself is still added to the window above, so the
-            # next solve covers its observations.
-            if self._q.qsize() > 1:
-                self._ba_skipped += 1
-                return
+            # NB deliberately NO queue-depth-based solve skipping: that would
+            # make which windows get refined depend on thread timing,
+            # breaking the worker's determinism guarantee (module docstring).
+            # The dispatch is async and the result is collected one keyframe
+            # later, so the solve costs the worker only the host-side
+            # assemble (~ms), not the ~120 ms device round trip it used to.
             t0 = time.perf_counter()
-            ba_res = self.wba.optimize()
-            self._phase_s["ba_solve"] += time.perf_counter() - t0
-            if ba_res is not None:
-                self._ba_solves += 1
-                T_new, _ = ba_res
-                with self._lock:
-                    for k, kf in enumerate(self.wba.window):
-                        self._kf_corrected[kf.frame_idx] = T_new[k].copy()
+            self.wba.dispatch()
+            self._phase_s["ba_dispatch"] += time.perf_counter() - t0

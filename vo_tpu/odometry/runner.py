@@ -91,6 +91,18 @@ class RunResult:
     refine_stats: dict = dataclasses.field(default_factory=dict)
 
 
+def _refiner_ckpt(refiner, kf_assoc, ring_desc, ring_mask, assoc_slot):
+    """RefinerWorker.checkpoint_state + the runner-side associator ring."""
+    if refiner is None:
+        return None
+    p = refiner.checkpoint_state()
+    if kf_assoc is not None:
+        p["runner_ring_desc"] = np.asarray(ring_desc)
+        p["runner_ring_mask"] = np.asarray(ring_mask)
+        p["runner_assoc_slot"] = np.asarray(assoc_slot, np.int64)
+    return p
+
+
 def _dt_at(seq, i: int) -> float:
     times = getattr(seq, "times", None)
     if times is not None and i > 0 and i < len(times):
@@ -115,8 +127,14 @@ def run_sequence(
     viz_every: int = 0,
     viz_dir: Optional[str] = None,
     verbose: bool = False,
+    mesh=None,
 ) -> RunResult:
     """Run VO over ``seq`` (StereoSequence or SyntheticSequence surface).
+
+    ``mesh`` (a jax.sharding.Mesh, e.g. dist.mesh.make_mesh) routes the
+    production step through the dist layer: detection sharded on "data",
+    RANSAC hypothesis-sharded on "model", and the window solve sharded on
+    "model" when ``use_ba`` (VERDICT r5 item 2).
 
     ``insert_landmarks`` defaults to cfg.view_3d (the reference's single flag,
     VO.m:6/145). With ``checkpoint_every > 0`` the resumable state is dumped
@@ -147,12 +165,12 @@ def run_sequence(
     # trajectories (pipeline.vo_step_pair; VERDICT r5 item 6). The refined path keeps the
     # single-frame step: keyframe submission needs state.prev at exact
     # keyframe boundaries.
-    use_pair = deferred and not (use_ba or use_loop_closure)
+    use_pair = deferred and not (use_ba or use_loop_closure) and mesh is None
     # ONE device program per frame: PRNG split + landmark insert fused into
     # the step (each extra per-frame dispatch costs ~1.5-3.5 ms of op
     # latency over the tunneled TPU); the map is donated, updated in place.
     step = make_fused_loop_step(
-        calib, cfg, precision=precision, with_landmarks=insert_landmarks
+        calib, cfg, precision=precision, with_landmarks=insert_landmarks, mesh=mesh
     )
     step2 = (
         make_fused_pair_step(calib, cfg, precision=precision, with_landmarks=insert_landmarks)
@@ -173,6 +191,7 @@ def run_sequence(
 
     poses, rels, n_in, n_tr, oks = [], [], [], [], []
     start_frame = 0
+    resumed_refiner_state = None
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
         from . import checkpoint as ckpt_mod
 
@@ -182,9 +201,11 @@ def run_sequence(
             lmap = ck.lmap
         poses = [p for p in ck.poses]
         rels = [p for p in ck.rel_poses]
-        n_in = [0] * len(poses)
-        n_tr = [0] * len(poses)
-        oks = [True] * len(poses)
+        # Real per-frame stats (v2 checkpoints); zero-fill only for v1.
+        n_in = list(ck.n_inliers) if ck.n_inliers is not None else [0] * len(poses)
+        n_tr = list(ck.n_tracks) if ck.n_tracks is not None else [0] * len(poses)
+        oks = list(ck.pose_ok) if ck.pose_ok is not None else [True] * len(poses)
+        resumed_refiner_state = ck.refiner
     # Warm-up compile on frame 0 data so timing excludes compilation.
     t_compile0 = time.perf_counter()
     if warmup:
@@ -214,7 +235,13 @@ def run_sequence(
     if use_ba or use_loop_closure:
         from .refiner import RefinerWorker
 
-        refiner = RefinerWorker(calib, cfg, use_ba=use_ba, use_loop_closure=use_loop_closure)
+        refiner = RefinerWorker(
+            calib, cfg, use_ba=use_ba, use_loop_closure=use_loop_closure, mesh=mesh
+        )
+        if resumed_refiner_state is not None:
+            # Bit-exact resume of refined runs: ledgers, archive, loop
+            # edges, in-flight rounds (VERDICT r5 item 7).
+            refiner.restore_state(resumed_refiner_state)
     if use_ba:
         # On-device keyframe associator: one vmapped descriptor match of the
         # new keyframe against every keyframe still in the BA window (MXU
@@ -253,6 +280,13 @@ def run_sequence(
             )
             jax.block_until_ready(w[2])
             del w
+        if resumed_refiner_state is not None and "runner_ring_desc" in resumed_refiner_state:
+            # The descriptor ring feeding the window associator is part of
+            # the resumable state: a zero ring would mis-associate the first
+            # resumed window (VERDICT r5 item 7).
+            ring_desc = jnp.asarray(resumed_refiner_state["runner_ring_desc"])
+            ring_mask = jnp.asarray(resumed_refiner_state["runner_ring_mask"])
+            assoc_slot = int(resumed_refiner_state["runner_assoc_slot"])
     gt_poses = getattr(seq, "gt_poses", None)
     if viz_every and viz_dir:
         os.makedirs(viz_dir, exist_ok=True)
@@ -377,6 +411,8 @@ def run_sequence(
                     np.asarray(rels) if rels else np.zeros((0, 4, 4), np.float32),
                     state.key,
                     i + 1,
+                    stats=(n_in, n_tr, oks),
+                    refiner_state=_refiner_ckpt(refiner, kf_assoc, ring_desc if kf_assoc else None, ring_mask if kf_assoc else None, assoc_slot if kf_assoc else 0),
                 )
         if viz_every and i > 0 and i % viz_every == 0:
             live_viz(i, out, left)

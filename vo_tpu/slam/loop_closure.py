@@ -137,6 +137,26 @@ class LoopCloser:
         self._verify_prog = jax.jit(_verify_fused)
         self._key = jax.random.PRNGKey(17)
 
+    def warmup(self, capacity: int) -> None:
+        """Compile the fused verification program on the production shapes
+        (``capacity`` = the pipeline's max_tracks) BEFORE the timed loop:
+        the compile otherwise lands inside the first candidate round on the
+        worker thread (measured ~10 s of worker_lc_dispatch_s at 600
+        frames, r5)."""
+        B = self.cfg.candidate_budget
+        z = (
+            jnp.zeros((capacity, 2), jnp.float32),
+            jnp.zeros((capacity, 2), jnp.float32),
+            jnp.zeros((capacity, 128), jnp.float32),
+            jnp.zeros(capacity, bool),
+        )
+        k0 = self._key
+        outs, _ = self._verify_prog(
+            tuple(z for _ in range(B)), z[0], z[2], z[3], self._key
+        )
+        jax.block_until_ready(outs[0])
+        self._key = k0  # warmup must not advance the PRNG stream
+
     # -- detection ----------------------------------------------------------
     def _candidates(self, pose: np.ndarray, gdesc: np.ndarray | None = None) -> list[int]:
         """Union of the metric-proximity and appearance-retrieval channels.

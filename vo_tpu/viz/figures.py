@@ -116,6 +116,31 @@ def map_3d(
     return _finish(fig, path)
 
 
+def error_parity(
+    errors: np.ndarray,
+    times: np.ndarray,
+    reference_csv: str,
+    path: str | None = None,
+    label: str = "this engine (plain VO)",
+):
+    """Overlay this engine's xz-error curve on the DIGITIZED reference curve
+    (tools/digitize_reference.py <- /root/reference/4500/error.png): the
+    apples-to-apples drift comparison at matched feed severity (VERDICT r5
+    item 1)."""
+    ref = np.loadtxt(reference_csv, delimiter=",", comments="#")
+    fig, ax = plt.subplots(figsize=(7.5, 4), dpi=110)
+    ax.plot(ref[:, 0], ref[:, 1], "-", color="0.45", lw=1.4,
+            label="reference (digitized 4500/error.png)")
+    errors = np.asarray(errors)
+    ax.plot(np.asarray(times)[: len(errors)], errors, "b-", lw=1.1, label=label)
+    ax.set_xlabel("time [s]")
+    ax.set_ylabel("xz error [m]  (PlotOnMap.m:20)")
+    ax.set_title("drift vs the reference's published curve, KITTI 00")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    return _finish(fig, path)
+
+
 def frame_report(out_dir: str, frame_idx: int, image, frame_out, result_so_far, gt_poses, times=None, landmarks=None):
     """Write the reference's img/<i>/ four-figure dump for one frame (VO.m:168-204)."""
     d = os.path.join(out_dir, str(frame_idx))
