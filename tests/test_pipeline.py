@@ -53,12 +53,13 @@ def test_pipeline_landmarks(result_and_seq):
     assert not np.any(np.all(res.landmarks == 0, axis=1))
 
 
-def test_pair_step_matches_single_step():
-    """The two-frame fused step (pipeline.vo_step_pair) must reproduce the
+def test_multi_step_matches_single_step():
+    """The multi-frame fused step (pipeline.vo_step_multi, cfg.fused_group=4
+    + a 3-frame single-step tail at n_frames=7) must reproduce the
     single-frame path: same ops and PRNG sequence, differing only by XLA's
-    4-wide vs 2-wide detection batching (reduction reordering at float
-    tolerance). A per-frame ``progress`` consumer forces the single-step
-    path for the reference run."""
+    wider detection batching (reduction reordering at float tolerance). A
+    per-frame ``progress`` consumer forces the single-step path for the
+    reference run."""
     seq = synthetic.kitti_synthetic_sequence(
         n_frames=7, n_landmarks=1500, seed=2, image_size=(188, 620)
     )

@@ -27,7 +27,16 @@ class SIFTConfig:
     sigma0: float = 1.6
     contrast_threshold: float = 0.0133
     edge_threshold: float = 10.0
-    max_keypoints: int = 2048  # static capacity per image (XLA needs fixed shapes)
+    # Static per-image keypoint capacity (XLA needs fixed shapes). Every
+    # keypoint-proportional stage (subpixel refine, orientation hists,
+    # descriptors, the octave-0 approx_max_k) scales with it: 2048 -> 1024
+    # measured 9.6 -> 3.8 ms/frame of detection on the v5e while the
+    # KITTI-resolution feed only detects ~1200 raw keypoints (multi-peak
+    # duplicates included) — the top-1024-by-response cut drops the ~16%
+    # weakest, costing ~14 of ~90 tracks/frame and no measurable accuracy
+    # (200-frame ATE 0.025 vs 0.036 m, within run-to-run noise; 600-frame
+    # noisy matrix re-validated in LONGRUN_r05).
+    max_keypoints: int = 1024
     descriptor_patch: int = 16  # 16x16 gradient patch -> 4x4x8 histogram
     ori_bins: int = 36
     # 2 = Lowe/MATLAB multi-peak orientations (duplicate keypoint per
@@ -208,6 +217,17 @@ class PipelineConfig:
     loop: LoopConfig = dataclasses.field(default_factory=LoopConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     max_tracks: int = 1024  # capacity of the temporal-track arrays
+    # Frames per fused device program on the runner's deferred fast path
+    # (pipeline.vo_step_multi). Detection batches across all group frames
+    # and per-program dispatch latency divides by group; wider batches
+    # slightly WORSEN per-image detection efficiency, so the optimum
+    # depends on the session's dispatch latency (tunnel RTT varies
+    # 0.2-3.5 ms between sessions). Measured at max_keypoints=1024 on the
+    # v5e: group 1/2/4 -> 144/141/125 fps — 2 gives up ~2% vs 1 today but
+    # halves exposure to the dispatch-latency regressions earlier rounds
+    # measured at 3.5 ms/call. Bit-identical trajectories for any value
+    # (tests/test_pipeline.py::test_multi_step_matches_single_step).
+    fused_group: int = 2
     view_3d: bool = True  # the reference's single flag (VO.m:6)
     viz_every: int = 100  # VO.m:168
     dtype: str = "float32"

@@ -240,6 +240,40 @@ def vo_step(
     return _step_core(state, feats_l, feats_r, key, next_key, calib, cfg, pose_fn=pose_fn)
 
 
+def vo_step_multi(
+    state: VOState,
+    frames: tuple,
+    calib: StereoCalib,
+    cfg: PipelineConfig,
+) -> tuple[VOState, list]:
+    """N frames in one program, detection batched across all 2N images.
+
+    ``frames`` is a flat tuple (l0, r0, l1, r1, ...). The frame->frame
+    serial dependency binds only tracking/RANSAC/chaining (~5 ms of the
+    step); detection is pose-independent, and its cost is
+    op-count-dominated (dozens of pyramid/top-k/gather dispatches at ~1 %
+    MFU, STAGES_r04) — measured on the v5e, an 8-image detection batch
+    costs within noise of a 2-image batch (~51 vs ~57 ms/call with host
+    sync), so batching across frames amortizes both the op latency and the
+    per-program dispatch by N. The math is IDENTICAL to N sequential
+    vo_step calls — same per-image detection (vmap semantics), same PRNG
+    split sequence — so the trajectory is bit-identical to the
+    single-frame path. Returns (state, [FrameOutput x N]).
+    """
+    n = len(frames) // 2
+    feats = jax.vmap(lambda im: detect_and_describe(im, cfg.sift))(
+        jnp.stack([_normalize(f) for f in frames])
+    )
+    outs = []
+    for k in range(n):
+        fl = jax.tree.map(lambda x: x[2 * k], feats)
+        fr = jax.tree.map(lambda x: x[2 * k + 1], feats)
+        nk, sk = jax.random.split(state.key)
+        state, out = _step_core(state, fl, fr, sk, nk, calib, cfg)
+        outs.append(out)
+    return state, outs
+
+
 def vo_step_pair(
     state: VOState,
     left0: jnp.ndarray,
@@ -249,29 +283,9 @@ def vo_step_pair(
     calib: StereoCalib,
     cfg: PipelineConfig,
 ) -> tuple[VOState, FrameOutput, FrameOutput]:
-    """TWO frames in one program, detection batched across both.
-
-    The frame->frame serial dependency binds only tracking/RANSAC/chaining
-    (~3 ms of the 15.5 ms step); detection is pose-independent, and its
-    cost is op-count-dominated (dozens of pyramid/top-k/gather dispatches at
-    ~1 % MFU, STAGES_r04), so detecting four images in one vmap costs barely
-    more than two. Per frame this also halves the per-program dispatch
-    latency. The math is IDENTICAL to two sequential vo_step calls — same
-    per-image detection (vmap semantics), same PRNG split sequence — so the
-    trajectory is bit-identical to the single-frame path.
-    """
-    feats4 = jax.vmap(lambda im: detect_and_describe(im, cfg.sift))(
-        jnp.stack([_normalize(left0), _normalize(right0), _normalize(left1), _normalize(right1)])
-    )
-
-    def pick(i):
-        return jax.tree.map(lambda x: x[i], feats4)
-
-    k1, s1 = jax.random.split(state.key)
-    state, out0 = _step_core(state, pick(0), pick(1), s1, k1, calib, cfg)
-    k2, s2 = jax.random.split(state.key)
-    state, out1 = _step_core(state, pick(2), pick(3), s2, k2, calib, cfg)
-    return state, out0, out1
+    """TWO frames in one program (vo_step_multi at N=2)."""
+    state, outs = vo_step_multi(state, (left0, right0, left1, right1), calib, cfg)
+    return state, outs[0], outs[1]
 
 
 def make_jitted_step(calib: StereoCalib, cfg: PipelineConfig, precision: str | None = None):
@@ -389,22 +403,25 @@ def make_fused_loop_step(
     return step
 
 
-def make_fused_pair_step(
+def make_fused_multi_step(
     calib: StereoCalib,
     cfg: PipelineConfig,
     precision: str | None = None,
     with_landmarks: bool = False,
+    group: int = 4,
 ):
-    """TWO frames per device program (vo_step_pair + both landmark inserts).
+    """``group`` frames per device program (vo_step_multi + landmark inserts).
 
     The production fast path when no per-frame host consumer exists
-    (odometry.runner): detection — 12.6 ms of the 15.5 ms frame at ~1 % MFU
-    (STAGES_r04) — batches across both frames, and per-frame dispatch
-    latency halves. Numerically equivalent to the single-frame step (same
-    ops; XLA's 4-wide batching may reorder reductions -> ~1e-6-level
-    subpixel jitter, absorbed by per-frame RANSAC).
+    (odometry.runner): detection — 12.6 ms of the 15.5 ms single-frame step
+    at ~1 % MFU (STAGES_r04) — batches across all ``group`` frames, and
+    per-frame dispatch latency divides by ``group``. Numerically equivalent
+    to the single-frame step (same ops; XLA's wider batching may reorder
+    reductions -> ~1e-6-level subpixel jitter, absorbed by per-frame
+    RANSAC).
 
-    Returns ``step2(state, lmap, l0, r0, l1, r1) -> (state, lmap, out0, out1)``.
+    Returns ``stepN(state, lmap, l0, r0, ..., l{g-1}, r{g-1})
+    -> (state, lmap, out0, ..., out{g-1})``.
     """
     from . import landmarks as lm_mod
 
@@ -413,22 +430,34 @@ def make_fused_pair_step(
     if with_landmarks:
 
         @partial(jax.jit, donate_argnums=(1,))
-        def step2(state, lmap, l0, r0, l1, r1):
+        def stepN(state, lmap, *frames):
             with jax.default_matmul_precision(precision):
-                state, out0, out1 = vo_step_pair(state, l0, r0, l1, r1, calib, cfg)
-                for out in (out0, out1):
+                state, outs = vo_step_multi(state, frames, calib, cfg)
+                for out in outs:
                     lmap = lm_mod.insert(
                         lmap, out.new_lm_l_px, out.new_lm_r_px, out.new_lm_mask,
                         out.pose_c2w, calib, cfg.landmarks,
                     )
-            return state, lmap, out0, out1
+            return (state, lmap, *outs)
 
     else:
 
         @jax.jit
-        def step2(state, lmap, l0, r0, l1, r1):
+        def stepN(state, lmap, *frames):
             with jax.default_matmul_precision(precision):
-                state, out0, out1 = vo_step_pair(state, l0, r0, l1, r1, calib, cfg)
-            return state, lmap, out0, out1
+                state, outs = vo_step_multi(state, frames, calib, cfg)
+            return (state, lmap, *outs)
 
-    return step2
+    return stepN
+
+
+def make_fused_pair_step(
+    calib: StereoCalib,
+    cfg: PipelineConfig,
+    precision: str | None = None,
+    with_landmarks: bool = False,
+):
+    """TWO frames per device program (make_fused_multi_step at group=2)."""
+    return make_fused_multi_step(
+        calib, cfg, precision=precision, with_landmarks=with_landmarks, group=2
+    )

@@ -28,7 +28,7 @@ import numpy as np
 from ..config import PipelineConfig
 from ..geom.camera import StereoCalib
 from . import landmarks as lm_mod
-from .pipeline import init_state, make_fused_loop_step, make_fused_pair_step
+from .pipeline import init_state, make_fused_loop_step, make_fused_multi_step
 
 KITTI_DT = 0.10374  # mean frame period of kitti/00/times.txt (~9.6 Hz)
 
@@ -47,7 +47,20 @@ class _DeviceHistory:
     def __init__(self, chunk: int = 128):
         self.chunk = chunk
         self._pending: list = []
-        self._chunks: list = []
+        self._chunks: list = []  # (stacked fields, n_valid)
+        # ONE jitted fixed-arity stack program shared by every flush: the
+        # eager jnp.stack path compiles a fresh ~chunk-operand concatenate
+        # per distinct operand count (~1.2 s XLA compile x 5 fields,
+        # measured INSIDE the timed loop at the first 128-frame flush —
+        # 81.5 -> 37 fps on the 200-frame sustained bench). Flushes pad to
+        # exactly ``chunk`` rows (repeating the last row; result() trims)
+        # so this compiles once, and warm() can pay that during the
+        # runner's warmup.
+        self._stack = jax.jit(lambda *rows: tuple(jnp.stack(f) for f in zip(*rows)))
+
+    def warm(self, *example_row) -> None:
+        """Compile the flush program on an example row (runner warmup)."""
+        self._stack(*([tuple(example_row)] * self.chunk))
 
     def append(self, *arrs) -> None:
         self._pending.append(arrs)
@@ -57,13 +70,15 @@ class _DeviceHistory:
     def flush(self) -> None:
         if not self._pending:
             return
-        stacked = tuple(jnp.stack(field) for field in zip(*self._pending))
+        n = len(self._pending)
+        rows = self._pending + [self._pending[-1]] * (self.chunk - n)
+        stacked = self._stack(*rows)
         for s in stacked:
             try:
                 s.copy_to_host_async()
             except (AttributeError, RuntimeError):
                 pass  # backend without async host copies; np.asarray below still works
-        self._chunks.append(stacked)
+        self._chunks.append((stacked, n))
         self._pending = []
 
     def result(self) -> list:
@@ -72,9 +87,10 @@ class _DeviceHistory:
         self.flush()
         if not self._chunks:
             return []
+        n_fields = len(self._chunks[0][0])
         return [
-            np.concatenate([np.asarray(c) for c in field_chunks])
-            for field_chunks in zip(*self._chunks)
+            np.concatenate([np.asarray(stacked[k])[:n] for stacked, n in self._chunks])
+            for k in range(n_fields)
         ]
 
 
@@ -159,22 +175,25 @@ def run_sequence(
         or metrics_path is not None
         or (checkpoint_every and checkpoint_path)
     )
-    # TWO frames per device program on the deferred no-refiner path:
-    # detection (pose-independent, op-latency-dominated) batches across both
-    # frames and dispatch overhead halves — numerically equivalent
-    # trajectories (pipeline.vo_step_pair; VERDICT r5 item 6). The refined path keeps the
-    # single-frame step: keyframe submission needs state.prev at exact
-    # keyframe boundaries.
-    use_pair = deferred and not (use_ba or use_loop_closure) and mesh is None
+    # cfg.fused_group frames per device program on the deferred no-refiner
+    # path: detection (pose-independent, op-latency-dominated) batches
+    # across all of them and dispatch overhead divides by the group size —
+    # numerically equivalent trajectories (pipeline.vo_step_multi; VERDICT
+    # r5 item 6). The refined path keeps the single-frame step: keyframe
+    # submission needs state.prev at exact keyframe boundaries.
+    group = cfg.fused_group if (deferred and not (use_ba or use_loop_closure) and mesh is None) else 1
+    use_multi = group > 1
     # ONE device program per frame: PRNG split + landmark insert fused into
     # the step (each extra per-frame dispatch costs ~1.5-3.5 ms of op
     # latency over the tunneled TPU); the map is donated, updated in place.
     step = make_fused_loop_step(
         calib, cfg, precision=precision, with_landmarks=insert_landmarks, mesh=mesh
     )
-    step2 = (
-        make_fused_pair_step(calib, cfg, precision=precision, with_landmarks=insert_landmarks)
-        if use_pair
+    stepN = (
+        make_fused_multi_step(
+            calib, cfg, precision=precision, with_landmarks=insert_landmarks, group=group
+        )
+        if use_multi
         else None
     )
 
@@ -214,13 +233,13 @@ def run_sequence(
         r0 = to_device(r0)
         # The map argument is donated: warm up on a throwaway map so the
         # real one is not consumed before the loop starts.
-        if use_pair:
+        if use_multi:
             m_w = lm_mod.init_map(cfg.landmarks) if insert_landmarks else None
-            s_w, m_w, o_w, o_w1 = step2(state, m_w, l0, r0, l0, r0)
-            jax.block_until_ready(o_w1.pose_c2w)
-            del s_w, m_w
-        if not use_pair or (n - start_frame) % 2 == 1:
-            # The single-frame step runs the odd tail frame in pair mode.
+            outs_w = stepN(state, m_w, *((l0, r0) * group))
+            jax.block_until_ready(outs_w[-1].pose_c2w)
+            del outs_w, m_w
+        if not use_multi or (n - start_frame) % group != 0:
+            # The single-frame step runs the tail frames in multi mode.
             m_w = lm_mod.init_map(cfg.landmarks) if insert_landmarks else None
             s_w, m_w, o_w = step(state, m_w, l0, r0)
             jax.block_until_ready(o_w.pose_c2w)
@@ -291,6 +310,11 @@ def run_sequence(
     if viz_every and viz_dir:
         os.makedirs(viz_dir, exist_ok=True)
     hist = _DeviceHistory() if deferred else None
+    if hist is not None and warmup:
+        # Compile the chunked-flush stack program now (a ~1.2 s XLA compile
+        # that otherwise lands inside the timed loop at frame ``chunk``).
+        z44 = jnp.eye(4, dtype=jnp.float32)
+        hist.warm(z44, z44, jnp.int32(0), jnp.int32(0), jnp.asarray(False))
     ke = cfg.ba.keyframe_every
 
     def live_viz(i, out, left):
@@ -330,22 +354,22 @@ def run_sequence(
     wait_s = 0.0  # main-thread time blocked on the refiner (lock-step waits)
     t0 = time.perf_counter()
     i = start_frame
-    while use_pair and i + 1 < n:
-        # --- two-frame fast path (no refiner / per-frame host consumer) ---
-        left0, right0 = seq.frame(i)
-        left1, right1 = seq.frame(i + 1)
-        state, lmap, out0, out1 = step2(
-            state, lmap, to_device(left0), to_device(right0),
-            to_device(left1), to_device(right1),
-        )
-        if i > 0:  # all_poses starts at frame 2 (VO.m:133)
-            hist.append(out0.pose_c2w, out0.rel_pose, out0.n_inliers, out0.n_tracks, out0.pose_ok)
-        hist.append(out1.pose_c2w, out1.rel_pose, out1.n_inliers, out1.n_tracks, out1.pose_ok)
+    while use_multi and i + group - 1 < n:
+        # --- multi-frame fast path (no refiner / per-frame host consumer) ---
+        host_frames = [seq.frame(i + k) for k in range(group)]
+        dev = []
+        for l, r in host_frames:
+            dev += [to_device(l), to_device(r)]
+        state, lmap, *outs = stepN(state, lmap, *dev)
+        for k, out in enumerate(outs):
+            if i + k > 0:  # all_poses starts at frame 2 (VO.m:133)
+                hist.append(out.pose_c2w, out.rel_pose, out.n_inliers, out.n_tracks, out.pose_ok)
         if viz_every:
-            for j, o, lf in ((i, out0, left0), (i + 1, out1, left1)):
+            for k, out in enumerate(outs):
+                j = i + k
                 if j > 0 and j % viz_every == 0:
-                    live_viz(j, o, lf)
-        i += 2
+                    live_viz(j, out, host_frames[k][0])
+        i += group
     for i in range(i, n):
         t_frame = time.perf_counter()
         left, right = seq.frame(i)
