@@ -160,15 +160,29 @@ class LoopConfig:
 
     radius: float = 10.0  # meters — candidate gate on translation distance
     min_gap: int = 20  # keyframes — skip recent neighbors
-    min_inliers: int = 25  # geometric verification threshold
+    # Geometric verification threshold. Calibrated at reference feed
+    # severity (BIGRUN_r05 regime, sensor sigma ~0.08): a true same-heading
+    # revisit yields ~45 P3P inliers through the full-query match while
+    # crossing-angle revisits and junk candidates measure 2-5 — 15 sits
+    # 3x above the false-positive band and half the true-positive level.
+    # (r4's 25 was calibrated on the near-noiseless feed, where the same
+    # pair yields ~68; at severity it silently disabled closure.)
+    min_inliers: int = 15
     match_capacity: int = 512
+    # Verification matcher overrides (the production matcher's strict
+    # ratio 0.6 + mutual filter is tuned for temporal tracking where wrong
+    # matches poison the cascade; verification feeds RANSAC, which rejects
+    # outliers geometrically — permissive matching measured 21 -> 28
+    # raw matches on the severity feed's true revisit with inliers intact).
+    verify_ratio: float = 0.8
+    verify_mutual: bool = False
     max_keyframes: int = 512  # node capacity of the global graph
     max_loop_edges: int = 64
     odometry_weight: float = 1.0
     loop_weight: float = 30.0
     graph_iters: int = 12
     appearance: bool = True  # enable the appearance-retrieval channel
-    appearance_top_k: int = 2  # candidates proposed by appearance per keyframe
+    appearance_top_k: int = 3  # candidates proposed by appearance per keyframe
     appearance_min_sim: float = 0.80  # cosine-similarity floor for proposals
     candidate_budget: int = 4  # candidates verified per keyframe (ONE fused dispatch)
     # Benefit gate: a verified loop whose implied pose correction is below
@@ -189,13 +203,18 @@ class LoopConfig:
     # After an accepted closure, skip detection for this many keyframes: a
     # long revisit otherwise re-verifies + re-solves the global graph at
     # EVERY keyframe (measured 103 s of worker time on a 600-frame run).
-    cooldown: int = 10
+    # 10 -> 5 at reference feed severity: drift accrues fast enough
+    # (~7 m/km) that halving the cadence measurably tightens the
+    # trajectory (vo_lc xz mean 5.33 -> 3.36 m, BIGRUN_r05 calibration).
+    cooldown: int = 5
     # After ANY verification round (accepted or not), skip this many
     # keyframes before dispatching another: revisit candidates persist for
     # tens of keyframes, and each round costs a device round trip over the
-    # tunnel (~0.3-0.5 s) — verifying every keyframe of a revisit is
-    # redundant latency, not extra recall.
-    verify_cooldown: int = 2
+    # tunnel (~0.3-0.5 s). 1 = verify at every keyframe outside accepted-
+    # closure cooldowns — at reference severity the extra rounds feed the
+    # small-disc constraint accumulation (slam.loop_closure), worth more
+    # than the saved latency.
+    verify_cooldown: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -19,12 +19,26 @@ that is nearly rigid WITHIN any window, so intra-window reprojection
 refinement has nothing to observe; the non-compounding correction design
 (see optimize()) keeps it from hurting, but nothing here can make it help.
 ``--ba`` WITHOUT loop closure is therefore documented default-off.
-COMBINED with closure at reference scale the picture flips: window-
-refined keyframe poses give the f64 closure graph cleaner odometry
-edges, and vo_ba_lc HALVES vo_lc's closed-loop ATE on the 4,500-frame
-KITTI 00 run (0.242 vs 0.484 m, BIGRUN_r04) — so the production
-refinement config is vo_lc for throughput, vo_ba_lc for accuracy. The
-component is also distributed (dist.ba_sharded).
+COMBINED with closure the picture depends on the feed regime:
+- On the NEAR-NOISELESS r4 feed, window-refined keyframe poses gave the
+  f64 closure graph cleaner odometry edges and vo_ba_lc halved vo_lc's
+  closed-loop 3D ATE (0.242 vs 0.484 m, BIGRUN_r04) while slightly
+  WORSENING the reference's planar xz metric (0.198 vs 0.126 m): the
+  ATE win concentrated in the y (height) axis, which PlotOnMap.m:20
+  ignores — tools/diag_axes.py decomposes saved trajectories per axis
+  to make exactly this trade visible.
+- At REFERENCE FEED SEVERITY (BIGRUN_r05, sensor sigma ~0.08 — the
+  regime matched to the reference's published 41 m drift curve),
+  vo_ba_lc is worse than vo_lc on EVERY axis (xz mean 5.28 vs 3.53 m,
+  y 1.45 vs 0.61 m). The per-axis decomposition shows why: BA itself is
+  near-neutral (vo_ba tracks vo within 4% on all axes), but the
+  float32-pinned step the BA path requires (make_jitted_step docstring)
+  produces a different detection stream than the bf16 fast path, and at
+  severity that stream yields fewer verified loop candidates (10 vs 17)
+  and fewer closures (3 vs 4) — and closure count dominates global
+  accuracy once drift is tens of meters. The production accuracy
+  flagship at reference severity is therefore vo_lc.
+The component is also distributed (dist.ba_sharded).
 
 Host/device split: window bookkeeping (id intersection, observation grid
 fill) is cheap numpy between jitted calls; the solver itself is one jitted

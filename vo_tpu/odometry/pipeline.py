@@ -214,7 +214,8 @@ def vo_step(
     cfg: PipelineConfig,
     pose_fn=None,
     img_sharding=None,
-) -> tuple[VOState, FrameOutput]:
+    return_feats: bool = False,
+) -> tuple:
     """One frame. Jit with static (calib-as-weak-static via closure, cfg static).
 
     ``key=None`` draws from ``state.key`` (split inside the program — the
@@ -223,7 +224,10 @@ def vo_step(
     ``img_sharding`` (a NamedSharding over the mesh's "data" axis) shards the
     stereo detection batch across devices; ``pose_fn`` swaps in the sharded
     RANSAC (see _step_core) — together these make the PRODUCTION step run
-    distributed (odometry.runner ``mesh=``, VERDICT r5 item 2)."""
+    distributed (odometry.runner ``mesh=``, VERDICT r5 item 2).
+    ``return_feats`` additionally returns the FULL left detection set
+    (xy/desc/mask) — loop-closure verification matches the query's complete
+    detections, not just its stereo subset (slam.loop_closure)."""
     next_key = state.key
     if key is None:
         next_key, key = jax.random.split(state.key)
@@ -237,7 +241,10 @@ def vo_step(
     feats_lr = jax.vmap(lambda im: detect_and_describe(im, cfg.sift))(imgs)
     feats_l = jax.tree.map(lambda x: x[0], feats_lr)
     feats_r = jax.tree.map(lambda x: x[1], feats_lr)
-    return _step_core(state, feats_l, feats_r, key, next_key, calib, cfg, pose_fn=pose_fn)
+    state, out = _step_core(state, feats_l, feats_r, key, next_key, calib, cfg, pose_fn=pose_fn)
+    if return_feats:
+        return state, out, (feats_l.xy, feats_l.desc, feats_l.mask)
+    return state, out
 
 
 def vo_step_multi(
@@ -351,6 +358,7 @@ def make_fused_loop_step(
     precision: str | None = None,
     with_landmarks: bool = False,
     mesh=None,
+    with_query_feats: bool = False,
 ):
     """ONE device program per frame for the production loop.
 
@@ -367,40 +375,37 @@ def make_fused_loop_step(
     capability of the production engine, not a test-only library).
 
     Returns ``step(state, lmap, left, right) -> (state, lmap, out)``; pass
-    ``lmap=None`` when ``with_landmarks=False``.
+    ``lmap=None`` when ``with_landmarks=False``. ``with_query_feats``
+    appends the full left detection set (xy/desc/mask device refs) to the
+    return — the refined path feeds it to loop-closure verification
+    (query side of slam.loop_closure; only keyframes ever read it, and the
+    refiner never host-copies it).
     """
     from . import landmarks as lm_mod
 
     precision = cfg.matmul_precision if precision is None else precision
     pose_fn, img_sharding = _mesh_step_overrides(calib, cfg, mesh)
 
-    if with_landmarks:
-
-        @partial(jax.jit, donate_argnums=(1,))
-        def step(state, lmap, left, right):
-            with jax.default_matmul_precision(precision):
-                state, out = vo_step(
-                    state, left, right, None, calib, cfg,
-                    pose_fn=pose_fn, img_sharding=img_sharding,
-                )
+    def body(state, lmap, left, right):
+        with jax.default_matmul_precision(precision):
+            r = vo_step(
+                state, left, right, None, calib, cfg,
+                pose_fn=pose_fn, img_sharding=img_sharding,
+                return_feats=with_query_feats,
+            )
+            state, out = r[0], r[1]
+            if with_landmarks:
                 lmap = lm_mod.insert(
                     lmap, out.new_lm_l_px, out.new_lm_r_px, out.new_lm_mask,
                     out.pose_c2w, calib, cfg.landmarks,
                 )
-            return state, lmap, out
+        if with_query_feats:
+            return state, lmap, out, r[2]
+        return state, lmap, out
 
-    else:
-
-        @jax.jit
-        def step(state, lmap, left, right):
-            with jax.default_matmul_precision(precision):
-                state, out = vo_step(
-                    state, left, right, None, calib, cfg,
-                    pose_fn=pose_fn, img_sharding=img_sharding,
-                )
-            return state, lmap, out
-
-    return step
+    if with_landmarks:
+        return partial(jax.jit, donate_argnums=(1,))(body)
+    return jax.jit(body)
 
 
 def make_fused_multi_step(

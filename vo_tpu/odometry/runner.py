@@ -186,8 +186,12 @@ def run_sequence(
     # ONE device program per frame: PRNG split + landmark insert fused into
     # the step (each extra per-frame dispatch costs ~1.5-3.5 ms of op
     # latency over the tunneled TPU); the map is donated, updated in place.
+    # The loop-closure path needs the step's full left detection set as the
+    # verification query side (pipeline.make_fused_loop_step docstring).
+    with_query = bool(use_loop_closure)
     step = make_fused_loop_step(
-        calib, cfg, precision=precision, with_landmarks=insert_landmarks, mesh=mesh
+        calib, cfg, precision=precision, with_landmarks=insert_landmarks, mesh=mesh,
+        with_query_feats=with_query,
     )
     stepN = (
         make_fused_multi_step(
@@ -241,7 +245,7 @@ def run_sequence(
         if not use_multi or (n - start_frame) % group != 0:
             # The single-frame step runs the tail frames in multi mode.
             m_w = lm_mod.init_map(cfg.landmarks) if insert_landmarks else None
-            s_w, m_w, o_w = step(state, m_w, l0, r0)
+            s_w, m_w, o_w = step(state, m_w, l0, r0)[:3]
             jax.block_until_ready(o_w.pose_c2w)
             del s_w, m_w
     compile_s = time.perf_counter() - t_compile0
@@ -382,7 +386,9 @@ def run_sequence(
             t_wait = time.perf_counter()
             refiner.throttle(max_lag=2)
             wait_s += time.perf_counter() - t_wait
-        state, lmap, out = step(state, lmap, to_device(left), to_device(right))
+        step_out = step(state, lmap, to_device(left), to_device(right))
+        state, lmap, out = step_out[:3]
+        query_feats = step_out[3] if with_query else None
         if refiner is not None and i > 0 and i % ke == 0:
             # state.prev now holds THIS frame's stereo features + track ids.
             assoc = None
@@ -393,7 +399,7 @@ def run_sequence(
                 )
                 assoc = (assoc_slot, m_a, m_b, m_ok)
                 assoc_slot = (assoc_slot + 1) % Kw
-            refiner.submit(i, out.pose_c2w, state.prev, assoc=assoc)
+            refiner.submit(i, out.pose_c2w, state.prev, assoc=assoc, query=query_feats)
         if deferred:
             if i > 0:  # all_poses starts at frame 2 (VO.m:133)
                 hist.append(out.pose_c2w, out.rel_pose, out.n_inliers, out.n_tracks, out.pose_ok)

@@ -102,6 +102,19 @@ class LoopCloser:
         self._path_m = 0.0  # cumulative keyframe-chain trajectory length
         self._last_t: np.ndarray | None = None
 
+        # Verification matches the query's FULL detection set against the
+        # candidate's stereo (3D-able) set with a permissive ratio test:
+        # only the candidate side needs depth, and the stereo subset is a
+        # small fraction of the detections (~85 of ~1000 at reference feed
+        # severity) — stereo-vs-stereo matching measured 21 raw matches /
+        # 18 inliers on a true revisit where full-query matching measures
+        # 150 / 45 (the difference between closure firing and silently
+        # never closing at severity; RANSAC absorbs the permissive
+        # matcher's extra outliers).
+        self._verify_matcher = dataclasses.replace(
+            self.matcher, max_ratio=cfg.verify_ratio, mutual=cfg.verify_mutual
+        )
+
         # ONE fused verification program for the WHOLE candidate batch
         # (match -> triangulate -> RANSAC-P3P, vmapped over candidates).
         # EVERYTHING — candidate stacking, the PRNG split, the B per-
@@ -120,7 +133,7 @@ class LoopCloser:
 
             def one(lpx, rpx, desc, cmask, k):
                 with jax.default_matmul_precision("float32"):
-                    m = match(cur_desc, cur_mask, desc, cmask, self.matcher, cfg.match_capacity)
+                    m = match(cur_desc, cur_mask, desc, cmask, self._verify_matcher, cfg.match_capacity)
                     X_cand = triangulate_rectified(lpx, rpx, calib)
                     Xm = jnp.take(X_cand, m.b_idx, axis=0)
                     px = jnp.take(cur_lpx, m.a_idx, axis=0)
@@ -137,13 +150,15 @@ class LoopCloser:
         self._verify_prog = jax.jit(_verify_fused)
         self._key = jax.random.PRNGKey(17)
 
-    def warmup(self, capacity: int) -> None:
+    def warmup(self, capacity: int, query_capacity: int | None = None) -> None:
         """Compile the fused verification program on the production shapes
-        (``capacity`` = the pipeline's max_tracks) BEFORE the timed loop:
-        the compile otherwise lands inside the first candidate round on the
-        worker thread (measured ~10 s of worker_lc_dispatch_s at 600
-        frames, r5)."""
+        (``capacity`` = the pipeline's max_tracks for the archived stereo
+        side; ``query_capacity`` = the detector's max_keypoints for the
+        full-query side) BEFORE the timed loop: the compile otherwise lands
+        inside the first candidate round on the worker thread (measured
+        ~10 s of worker_lc_dispatch_s at 600 frames, r5)."""
         B = self.cfg.candidate_budget
+        Q = capacity if query_capacity is None else query_capacity
         z = (
             jnp.zeros((capacity, 2), jnp.float32),
             jnp.zeros((capacity, 2), jnp.float32),
@@ -152,7 +167,11 @@ class LoopCloser:
         )
         k0 = self._key
         outs, _ = self._verify_prog(
-            tuple(z for _ in range(B)), z[0], z[2], z[3], self._key
+            tuple(z for _ in range(B)),
+            jnp.zeros((Q, 2), jnp.float32),
+            jnp.zeros((Q, 128), jnp.float32),
+            jnp.zeros(Q, bool),
+            self._key,
         )
         jax.block_until_ready(outs[0])
         self._key = k0  # warmup must not advance the PRNG stream
@@ -200,20 +219,28 @@ class LoopCloser:
             )
         return kf.dev
 
-    def _dispatch_verify(self, cands: list[ArchivedKeyframe], cur: ArchivedKeyframe):
+    def _dispatch_verify(
+        self, cands: list[ArchivedKeyframe], cur: ArchivedKeyframe, query_dev=None
+    ):
         """ONE fused dispatch for every candidate; returns the in-flight
         device outputs (async host copies started, NOT read). The result is
         collected one keyframe later (_collect_verify): blocking here would
         serialize the worker against the frame loop's run-ahead device queue
         (measured ~0.5-0.75 s per round of pure queue wait at 4,500 frames),
-        while a one-keyframe-delayed closure decision costs nothing."""
+        while a one-keyframe-delayed closure decision costs nothing.
+
+        ``query_dev`` — (xy, desc, mask) device refs of the verified
+        keyframe's FULL detection set (the production path); falls back to
+        its archived stereo subset when absent (direct-API callers)."""
         B = self.cfg.candidate_budget
         n = len(cands)
         padded = cands + [cands[0]] * (B - n)  # static batch; extras ignored
         devs = tuple(self._dev_of(c) for c in padded)
-        cur_dev = self._dev_of(cur)
+        if query_dev is None:
+            d = self._dev_of(cur)
+            query_dev = (d[0], d[2], d[3])
         outs, self._key = self._verify_prog(
-            devs, cur_dev[0], cur_dev[2], cur_dev[3], self._key
+            devs, query_dev[0], query_dev[1], query_dev[2], self._key
         )
         for o in outs:
             try:
@@ -238,10 +265,11 @@ class LoopCloser:
         return out
 
     # -- public API ---------------------------------------------------------
-    def add_keyframe(self, kf: ArchivedKeyframe) -> Optional[dict]:
+    def add_keyframe(self, kf: ArchivedKeyframe, query_dev=None) -> Optional[dict]:
         """Archive kf, try to close a loop, and if one verifies, re-optimize
         the global graph. Returns {'corrected': [K,4,4], 'loop': (old,new)}
-        or None.
+        or None. ``query_dev`` — (xy, desc, mask) device refs of kf's FULL
+        detection set for the verification query side (_dispatch_verify).
 
         Verification is PIPELINED one keyframe deep: this call collects the
         round dispatched at the previous keyframe (so an accepted closure is
@@ -280,7 +308,9 @@ class LoopCloser:
         # bounds the device dispatches without losing recall.
         self._cooldown_left = max(self._cooldown_left, self.cfg.verify_cooldown)
         t0 = time.perf_counter()
-        outs = self._dispatch_verify([self.keyframes[k] for k in cand_idx], kf)
+        outs = self._dispatch_verify(
+            [self.keyframes[k] for k in cand_idx], kf, query_dev=query_dev
+        )
         self._tick("dispatch", t0)
         self._pending = (
             kf.frame_idx,
@@ -342,16 +372,32 @@ class LoopCloser:
             self.n_verified += 1
             if len(self.disc_events) > self._disc_cap:
                 del self.disc_events[: -self._disc_cap]
+            if not np.isfinite(Z).all():
+                continue  # NaN-poisoned measurement: never let it into the graph
             if disc < gate:
                 self.skipped_small += 1
+                # "Too consistent to correct" is still a VERIFIED rigid
+                # constraint: keep it as a graph edge (no solve — solves are
+                # ~5 s of f64 host work at reference scale and a sub-gate
+                # disc means the current estimate already satisfies the
+                # edge). Accumulated revisit edges pin each stretch to its
+                # earlier pass in every LATER solve. Measured effect on the
+                # severity feed is neutral on xz mean (3.53 vs 3.36 m,
+                # within run variance) but it makes the final solve's
+                # constraint set complete rather than one-edge-per-loop —
+                # kept for robustness, not as a measured accuracy win.
+                # Near-duplicate pairs are skipped so a long revisit cannot
+                # evict real closures from the bounded edge list.
+                if not self._near_duplicate_edge(k, cur_k):
+                    self.loop_edges.append((k, cur_k, Z))
+                    if len(self.loop_edges) > self.cfg.max_loop_edges:
+                        self.loop_edges.pop(0)
                 # Medium cooldown: drift keeps growing, so a revisit that is
                 # "too consistent" now may deserve a closure later — but
                 # re-verifying every keyframe of a long revisit is the single
                 # biggest worker cost.
                 self._cooldown_left = max(self._cooldown_left, self.cfg.cooldown // 2)
                 continue
-            if not np.isfinite(Z).all():
-                continue  # NaN-poisoned measurement: never let it into the graph
             self.loop_edges.append((k, cur_k, Z))
             if len(self.loop_edges) > self.cfg.max_loop_edges:
                 self.loop_edges.pop(0)
@@ -370,6 +416,10 @@ class LoopCloser:
             # poison every subsequent solve (ADVICE r4).
             self.loop_edges.pop()
         return None
+
+    def _near_duplicate_edge(self, a: int, b: int, tol: int = 2) -> bool:
+        """An edge between (almost) the same keyframe pair already exists."""
+        return any(abs(ea - a) <= tol and abs(eb - b) <= tol for ea, eb, _ in self.loop_edges)
 
     def _decimate(self) -> None:
         """Halve keyframe density: keep even-position keyframes + the newest.
