@@ -194,7 +194,14 @@ class LoopConfig:
     # so a fixed 1.0 m threshold no longer disables closure whenever the
     # accumulated drift is sub-meter (every committed run through r3).
     min_correction: float = 1.0  # meters — gate CAP (long paths)
-    min_correction_floor: float = 0.3  # meters — verification-noise floor
+    # Verification-noise floor. Recalibrated 0.3 -> 0.5 for the full-query
+    # permissive verifier (higher Z noise than the old stereo-subset
+    # matcher): at 0.3 a single noise-closure with disc 0.315 m fired on
+    # the clean 600-frame out-and-back feed and degraded vo_lc's ATE
+    # 0.10 -> 0.44 m; at 0.5 it is skipped (vo_lc == vo there) while the
+    # reference-severity closures (disc 1-9 m) are untouched — BIGRUN_r05
+    # accuracy reproduces bit-identically.
+    min_correction_floor: float = 0.5
     # Gate slope per meter traveled since the candidate. Must sit BELOW the
     # platform's actual drift rate or closure is again unreachable: the
     # noisy 600-frame matrix measured ~0.65 m/km VO drift, so 0.5 m/km
