@@ -92,6 +92,47 @@ def run(device_counts=(1, 2, 4, 8), frame_batch=8, image_size=(128, 256), n_hyp=
     return rows
 
 
+def run_integrated(mesh_shape=(2, 4), n_frames=48, image_size=(188, 620)):
+    """End-to-end PRODUCTION runner on a mesh (the --mesh CLI mode): the
+    fused per-frame step with detection sharded on "data" and RANSAC
+    hypothesis-sharded on "model", vs the identical single-device run.
+
+    On a virtual CPU mesh the devices TIMESHARE the host cores, so the fps
+    ratio measures integration overhead, not scaling — the honest number a
+    single-chip dev box can produce (BASELINE.md's >=70% target needs real
+    multi-chip ICI). Trajectory equivalence with the single-device run is
+    asserted (the same check as tests/test_dist.py's mesh-equivalence
+    test, here at artifact scale)."""
+    import jax
+    import numpy as np
+
+    from ..config import MeshConfig, PipelineConfig
+    from ..io import synthetic
+    from ..odometry import runner
+    from . import mesh as mesh_mod
+
+    seq = synthetic.kitti_synthetic_sequence(
+        n_frames=n_frames, n_landmarks=3000, seed=1, image_size=image_size
+    )
+    cfg = PipelineConfig()
+    res1 = runner.run_sequence(seq, cfg, n_frames=n_frames, progress=lambda i, s: None)
+    mesh = mesh_mod.make_mesh(
+        MeshConfig(data=mesh_shape[0], model=mesh_shape[1]),
+        devices=jax.devices()[: mesh_shape[0] * mesh_shape[1]],
+    )
+    resM = runner.run_sequence(seq, cfg, n_frames=n_frames, mesh=mesh)
+    pose_dev = float(np.abs(resM.poses - res1.poses).max()) if res1.poses.size else 0.0
+    return dict(
+        integrated_mesh=list(mesh_shape),
+        n_frames=n_frames,
+        single_device_fps=round(res1.frames_per_sec, 2),
+        meshed_fps=round(resM.frames_per_sec, 2),
+        max_pose_deviation_m=round(pose_dev, 6),
+        equivalent=pose_dev < 2e-2,
+        note="virtual CPU mesh timeshares host cores: ratio = integration overhead, not scaling",
+    )
+
+
 def main():
     # The environment's sitecustomize force-registers the TPU platform and
     # overrides JAX_PLATFORMS; pin the backend AFTER import or this harness
@@ -104,6 +145,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     for row in run():
         print(json.dumps(row))
+    print(json.dumps(run_integrated()))
 
 
 if __name__ == "__main__":
